@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The sandbox runs a single JVM (``local[N]``); the configuration below
+is nevertheless chosen for a 1000-executor cluster reading ~100 TB:
+
+* AQE on (runtime shuffle coalescing + skew-join splitting) — hot web
+  domains produce skewed keys, AQE splits oversized partitions.
+* Arrow batches capped at 2k rows so a pandas-UDF batch of 512-token
+  segments (up to ~131k candidate spans each, n(n+1)/2 at n=512 —
+  reference caps segments at 512 subtokens, /root/reference/
+  datautils.py:1371-1437) stays well inside executor memory.
+* ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: pages
+  tables are wide (html binary) so a scan task stays ~O(100 MB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "qizner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    master = master or os.environ.get("QIZNER_SPARK_MASTER", "local[*]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("QIZNER_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("QIZNER_DRIVER_MEM", "8g"))
+        # Broadcast joins for alias dictionaries / small dims up to 64 MB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
