@@ -1,0 +1,157 @@
+"""Mention detection: the batched-inference stage as one mapInPandas.
+
+The reference's raw-text entry point (predict_sents,
+/root/reference/train_ner.py:657-719) chains tokenize (T1/T2/T4) ->
+segment (D3) -> batch (M1) -> score (M2..M8) -> decode (L5/L6) ->
+merge segments (D5) -> flatten (L10). Here the WHOLE chain runs
+inside a single Arrow-batched ``mapInPandas``:
+
+* documents are independent, so segments of a document never leave
+  the Python worker that tokenized it — the reference's segment-merge
+  shuffle (groupBy(url)) disappears entirely: segments carry their
+  token offset (``doc_offset``) and mentions are emitted in document
+  coordinates directly;
+* the scorer is a PER-WORKER SINGLETON (built once per executor
+  process from a broadcast factory), mirroring per-partition model
+  load for transformer inference at scale;
+* no per-row Python<->JVM crossings: one Arrow batch in, one long-form
+  mention frame out (input_hint mandate).
+
+Output is the long-form mentions table — one row per mention — which
+downstream joins/aggregations prefer over the reference's
+map-of-lists (SURVEY.md §1.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    FloatType, IntegerType, StringType, StructField, StructType,
+)
+
+from qizner_spark.core.labels import Mention, dedupe_mentions, flatten_by_prob
+from qizner_spark.core.segment import segment
+from qizner_spark.core.spans import decode_sigmoid
+
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("lang", StringType()),
+        StructField("ent_type", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("mention", StringType()),
+        StructField("prob", FloatType()),
+    ]
+)
+
+_SCORER_CACHE: dict[int, object] = {}
+
+
+def _get_scorer(factory: Callable[[], object]) -> object:
+    """Per-worker scorer singleton (reference: model loaded once, not
+    per batch — the mapInPandas analog of per-partition model load)."""
+    key = id(factory)
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = factory()
+        _SCORER_CACHE[key] = scorer
+    return scorer
+
+
+def _tokenize(text: str, lang: str) -> tuple[list[str], str]:
+    """Language routing: ZH -> per-char tokens, deli '' (T1); other ->
+    whitespace words, deli ' ' (T2 pre-split). Raw mixed text goes
+    through zheng_process upstream when offset maps are needed."""
+    if lang == "zh":
+        return list(text), ""
+    return text.split(" "), " "
+
+
+def detect_mentions(
+    docs: DataFrame,
+    scorer_factory: Callable[[], object],
+    key_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    tokens_col: str | None = None,
+    gold_col: str | None = None,
+    max_seg_len: int = 512,
+    prefix_context_len: int = 0,
+    threshold: float = 0.5,
+    flat: bool = True,
+) -> DataFrame:
+    """docs -> long-form mentions DataFrame.
+
+    The scorer (built once per worker from ``scorer_factory``) either
+    exposes ``score_mentions(tokens[, gold]) -> [(type, s, e, prob)]``
+    (sparse path: gazetteer / gold replay / pruned fast-predict) or
+    ``score_matrix(tokens) -> [n(n+1)/2, E]`` + ``ent_types`` (dense
+    path, decoded with the reference default sigmoid>=0.5 — L6).
+
+    ``flat=True`` applies the probability-greedy flatten (L10) the
+    reference uses for flat corpora (train_ner.py:841,863,945).
+    """
+    cols = [key_col, text_col]
+    if lang_col:
+        cols.append(lang_col)
+    if tokens_col:
+        cols.append(tokens_col)
+    if gold_col:
+        cols.append(gold_col)
+    narrow = docs.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _get_scorer(scorer_factory)
+        dense = hasattr(scorer, "score_matrix")
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                rowd = row._asdict()
+                text = rowd[text_col]
+                lang = rowd.get(lang_col, "en") if lang_col else "en"
+                if tokens_col and rowd.get(tokens_col) is not None:
+                    tokens = list(rowd[tokens_col])
+                    deli = "" if lang == "zh" else " "
+                else:
+                    tokens, deli = _tokenize(text, lang)
+                gold: list[Mention] = []
+                if gold_col and rowd.get(gold_col) is not None:
+                    gold = [
+                        (e["ent_type"], int(e["start"]), int(e["end"]))
+                        for e in rowd[gold_col]
+                    ]
+
+                doc_mentions: list[Mention] = []
+                for seg in segment(tokens, gold, max_size=max_seg_len,
+                                   prefix_context_len=prefix_context_len):
+                    if dense:
+                        mat = scorer.score_matrix(seg.tokens)
+                        id2ent = dict(enumerate(scorer.ent_types))
+                        found = decode_sigmoid(mat, len(seg.tokens), id2ent, threshold)
+                    else:
+                        found = scorer.score_mentions(seg.tokens, seg.mentions)
+                    off = seg.doc_offset
+                    doc_mentions.extend(
+                        (t, s + off, e + off, p) for t, s, e, p in found
+                    )
+                # overlap regions / repeated context can duplicate spans
+                doc_mentions = dedupe_mentions(doc_mentions)
+                if flat:
+                    doc_mentions = flatten_by_prob(len(tokens), doc_mentions)
+
+                key = str(rowd[key_col])
+                for t, s, e, p in doc_mentions:
+                    out["doc_key"].append(key)
+                    out["lang"].append(lang)
+                    out["ent_type"].append(t)
+                    out["start"].append(int(s))
+                    out["end"].append(int(e))
+                    out["mention"].append(deli.join(tokens[s:e]))
+                    out["prob"].append(float(p))
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,195 @@
+"""The flagship end-to-end KG-construction DAG.
+
+Spark translation of the reference raw-text entry point
+(predict_sents, /root/reference/train_ner.py:657-719) extended with
+the KG stages (north_star):
+
+    pages(url, warc_ts, html, text, lang)          # scan
+      -> extract_text (byte-identical per url)     # native exprs
+      -> DROP html (column pruning before any shuffle)
+      -> detect_mentions                           # one mapInPandas:
+             tokenize (T1/T2) -> segment (D3) -> score -> decode (L6)
+             -> in-worker segment merge (D5, NO shuffle) -> flatten (L10)
+      -> link entities (broadcast alias join)      # E5 dictionary
+      -> co-mention edges per url                  # self-join per doc
+      -> connected components (large/small-star)   # canonicalization
+      -> triples (subj, pred, obj, url, warc_ts, prob)
+
+Shuffle inventory (the whole point at 100 TB):
+  1. alias-dictionary build: one groupBy(mention, ent_type) over the
+     (small) mention table — map-side combined;
+  2. co-mention edge build: mentions re-keyed by url (narrow if
+     detection output is already url-clustered, which it is — no
+     repartitioning happened since);
+  3. connected components: O(log n) bounded rounds;
+  4. final write, partitioned by bucket(subj).
+The html binary never crosses a stage boundary. Everything before
+detection is whole-stage codegen; detection is one Arrow pass.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qizner_spark.gazetteer import GAZETTEER_FULL
+from qizner_spark.operators.graph import assign_components
+from qizner_spark.operators.linking import build_alias_dictionary, link_mentions
+from qizner_spark.operators.mentions import detect_mentions
+from qizner_spark.sources.pages import extract_text_col, pages_from_documents
+
+
+def default_scorer_factory():
+    from qizner_spark.core.scoring import GazetteerScorer
+    from qizner_spark.gazetteer import GAZETTEER_FULL as GAZ
+
+    return GazetteerScorer(GAZ, token_deli=" ")
+
+
+def extract_pages_text(pages: DataFrame, validate: bool = True) -> DataFrame:
+    """html -> text with the byte-identity invariant enforced IN the
+    plan: rows whose extraction mismatches the stored text are routed
+    to an error flag column (kept 0 at all times in tests). The heavy
+    html column is dropped immediately after."""
+    out = pages.withColumn("extracted", extract_text_col("html"))
+    if validate:
+        out = out.withColumn(
+            "extract_ok", (F.col("extracted") == F.col("text")).cast("int")
+        )
+    return out.select(
+        "url", "warc_ts", F.col("extracted").alias("text"), "lang",
+        *(["extract_ok"] if validate else []),
+    )
+
+
+def comention_edges(linked: DataFrame) -> DataFrame:
+    """Distinct entity pairs co-mentioned in the same document.
+
+    Self-join on url over the per-doc DISTINCT entity set (deduped
+    before the join so a hot page with 10^3 repeat mentions of one
+    entity contributes each pair once)."""
+    per_doc = linked.select("url", "entity_id").distinct()
+    a = per_doc.alias("a")
+    b = per_doc.alias("b")
+    return (
+        a.join(b, "url")
+        .where(F.col("a.entity_id") < F.col("b.entity_id"))
+        .select(
+            F.col("a.entity_id").alias("src"),
+            F.col("b.entity_id").alias("dst"),
+            F.col("url"),
+        )
+    )
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    scorer_factory=None,
+    max_seg_len: int = 512,
+    flat: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full DAG; returns every intermediate plus ``triples``."""
+    scorer_factory = scorer_factory or default_scorer_factory
+
+    docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
+
+    mentions = detect_mentions(
+        docs, scorer_factory, key_col="url", text_col="text", lang_col="lang",
+        max_seg_len=max_seg_len, flat=flat,
+    ).withColumnRenamed("doc_key", "url")
+
+    # provenance (warc_ts) joins back on url — url-partitioned on both
+    # sides; broadcast NOT used (both sides big at scale), AQE decides.
+    mentions_prov = mentions.join(docs.select("url", "warc_ts"), "url")
+
+    alias = build_alias_dictionary(mentions)
+    linked = link_mentions(mentions_prov, alias)
+
+    edges = comention_edges(linked)
+    components = assign_components(
+        linked.select(F.col("entity_id").alias("node")), edges.select("src", "dst")
+    ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
+
+    canon = linked.join(F.broadcast(components), "entity_id")
+
+    type_triples = canon.select(
+        F.col("canonical_id").alias("subj"), F.lit("type").alias("pred"),
+        F.col("ent_type").alias("obj"), "url", "warc_ts", "prob",
+    )
+    alias_triples = canon.select(
+        F.col("canonical_id").alias("subj"), F.lit("alias").alias("pred"),
+        F.col("mention").alias("obj"), "url", "warc_ts", "prob",
+    )
+    canon_edges = (
+        edges.join(F.broadcast(components.withColumnRenamed("entity_id", "src")), "src")
+        .withColumnRenamed("canonical_id", "subj")
+        .join(
+            F.broadcast(
+                components.withColumnRenamed("entity_id", "dst")
+                .withColumnRenamed("canonical_id", "obj_c")
+            ),
+            "dst",
+        )
+        .join(canon.groupBy("url").agg(F.min("prob").alias("prob"),
+                                       F.min("warc_ts").alias("warc_ts")), "url")
+        .select("subj", F.lit("mentioned_with").alias("pred"),
+                F.col("obj_c").alias("obj"), "url", "warc_ts", "prob")
+    )
+    triples = type_triples.unionByName(alias_triples).unionByName(canon_edges).dropDuplicates(
+        ["subj", "pred", "obj", "url"]
+    )
+
+    return {
+        "docs": docs,
+        "mentions": mentions,
+        "alias": alias,
+        "linked": linked,
+        "edges": edges,
+        "components": components,
+        "triples": triples,
+    }
+
+
+def build_kg_from_sf_dir(spark: SparkSession, sf_dir: str, **kw) -> dict[str, DataFrame]:
+    return build_kg(spark, pages_from_documents(spark, sf_dir), **kw)
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Partitioned triple sink: deterministic bucket of subj (Iceberg
+    partition transform stand-in; parquet in the sandbox)."""
+    (
+        triples.withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+        .write.mode(mode)
+        .partitionBy("subj_bucket")
+        .parquet(path)
+    )
+
+
+def run_with_metrics(
+    spark: SparkSession, pages: DataFrame, out_path: str | None = None, **kw
+) -> dict:
+    """Execute the DAG, recording wall-clock + row counts (the
+    per-run metrics rows the north_rule requires; written alongside
+    the sink as ``_metrics`` when a path is given)."""
+    t0 = time.time()
+    stages = build_kg(spark, pages, **kw)
+    n_docs = stages["docs"].count()
+    n_mentions = stages["mentions"].count()
+    n_triples = stages["triples"].count()
+    wall = time.time() - t0
+    metrics = {
+        "n_docs": n_docs,
+        "n_mentions": n_mentions,
+        "n_triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
+        "ts": int(time.time()),
+    }
+    if out_path:
+        write_triples(stages["triples"], out_path)
+        spark.createDataFrame([metrics]).write.mode("append").json(f"{out_path}_metrics")
+    return {"stages": stages, "metrics": metrics}

@@ -1,0 +1,95 @@
+"""Connected-components + linking operator tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qizner_spark.operators.graph import assign_components, connected_components
+from qizner_spark.operators.linking import (
+    build_alias_dictionary,
+    count_unlabeled_occurrences,
+    link_mentions,
+)
+
+
+def cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+class TestConnectedComponents:
+    def test_chain(self, spark):
+        comp = cc_dict(spark, [("b", "c"), ("c", "d"), ("a", "b")])
+        assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+    def test_two_components(self, spark):
+        comp = cc_dict(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+        assert comp["a"] == comp["b"] == "a"
+        assert comp["x"] == comp["y"] == comp["z"] == "x"
+
+    def test_cycle_and_cross_edges(self, spark):
+        comp = cc_dict(spark, [("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("9", "4")])
+        assert set(comp.values()) == {"1"}
+
+    def test_star_hub(self, spark):
+        edges = [("hub", f"n{i:03d}") for i in range(50)]
+        comp = cc_dict(spark, edges)
+        assert set(comp.values()) == {"hub"}  # 'hub' < 'n000'
+        assert len(comp) == 51
+
+    def test_assign_components_isolated(self, spark):
+        nodes = spark.createDataFrame([("a",), ("b",), ("lonely",)], ["node"])
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        got = {r["node"]: r["component"] for r in assign_components(nodes, edges).collect()}
+        assert got == {"a": "a", "b": "a", "lonely": "lonely"}
+
+
+class TestLinking:
+    @pytest.fixture()
+    def mentions(self, spark):
+        rows = [
+            ("u1", "en", "OP", 0, 1, "join", 0.9),
+            ("u1", "en", "OP", 3, 4, "join", 0.8),
+            ("u2", "en", "STRUCT", 0, 1, "table", 0.7),
+            ("u2", "en", "OP", 1, 2, "join", 0.6),
+        ]
+        return spark.createDataFrame(
+            rows, ["url", "lang", "ent_type", "start", "end", "mention", "prob"]
+        )
+
+    def test_alias_dictionary_counts(self, spark, mentions):
+        alias = {(r["mention"], r["ent_type"]): r["freq"] for r in build_alias_dictionary(mentions).collect()}
+        assert alias[("join", "OP")] == 3
+        assert alias[("table", "STRUCT")] == 1
+
+    def test_link_assigns_entity_ids(self, spark, mentions):
+        alias = build_alias_dictionary(mentions)
+        linked = link_mentions(mentions, alias)
+        ids = {r["entity_id"] for r in linked.collect()}
+        assert ids == {"kb:OP:join", "kb:STRUCT:table"}
+
+    def test_link_ambiguity_resolved_by_freq(self, spark, mentions):
+        alias = spark.createDataFrame(
+            [("join", "OP", "kb:1", 10), ("join", "OP", "kb:2", 99)],
+            ["mention", "ent_type", "entity_id", "freq"],
+        )
+        linked = link_mentions(mentions.where(F.col("mention") == "join"), alias)
+        assert {r["entity_id"] for r in linked.collect()} == {"kb:2"}
+
+    def test_link_fallback_self_canonical(self, spark, mentions):
+        empty_alias = spark.createDataFrame(
+            [], "mention string, ent_type string, entity_id string, freq long"
+        )
+        linked = link_mentions(mentions, empty_alias)
+        assert {r["entity_id"] for r in linked.collect()} == {"kb:OP:join", "kb:STRUCT:table"}
+
+    def test_unlabeled_occurrences(self, spark, mentions):
+        docs = spark.createDataFrame(
+            [("u1", "join the join table"), ("u2", "no ops here")], ["url", "text"]
+        )
+        alias = build_alias_dictionary(mentions)
+        got = {r["mention"]: (r["total_occurrences"], r["unlabeled"])
+               for r in count_unlabeled_occurrences(docs, alias).collect()}
+        assert got["join"] == (2, -1)  # 2 in text, 3 labeled
+        assert got["table"] == (1, 0)
