@@ -1,0 +1,103 @@
+"""Text analysis for training-data pipelines — ALL native expressions
+(whole-stage codegen; zero Python in the row path):
+
+  * language ID (non-ASCII-ratio n-gram-free heuristic)
+  * quality scoring (length / punctuation / stopword / digit ratios)
+  * token counting (whitespace + BPE-ish subword estimate)
+  * document fingerprinting (normalized md5)
+
+Each helper returns a Column so they compose into any projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def subword_count_col(text_col: str = "text", piece: int = 4) -> Column:
+    """BPE-ish token estimate: each word contributes
+    ceil(len(word)/piece) pieces (mirrors the wordpiece stub)."""
+    return F.expr(
+        f"aggregate(transform(split({text_col}, ' '), w -> int(ceil(length(w) / {piece}.0D))),"
+        f" 0, (acc, x) -> acc + x)"
+    )
+
+
+def non_ascii_ratio_col(text_col: str = "text") -> Column:
+    ascii_only = F.length(F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", ""))
+    return (F.length(F.col(text_col)) - ascii_only) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+
+
+def lang_id_col(text_col: str = "text", zh_threshold: float = 0.3) -> Column:
+    """'zh' when the non-ASCII character ratio crosses the threshold,
+    else 'en' — the deterministic sandbox heuristic (production swaps
+    a fastText-style model into the same column slot)."""
+    return F.when(non_ascii_ratio_col(text_col) > zh_threshold, F.lit("zh")).otherwise(F.lit("en"))
+
+
+def punct_ratio_col(text_col: str = "text") -> Column:
+    kept = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return kept / F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+
+def digit_ratio_col(text_col: str = "text") -> Column:
+    kept = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    return kept / F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+
+def stopword_ratio_col(text_col: str = "text") -> Column:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(
+        f"size(filter(split(lower({text_col}), ' '), w -> array_contains(array({arr}), w)))"
+    ) / F.greatest(token_count_col(text_col), F.lit(1))
+
+
+def mean_word_len_col(text_col: str = "text") -> Column:
+    return F.expr(
+        f"aggregate(transform(split({text_col}, ' '), w -> length(w)), 0, (acc, x) -> acc + x)"
+    ) / F.greatest(token_count_col(text_col), F.lit(1))
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """[0, 1] heuristic: long-enough docs with some stopwords, low
+    punctuation/digit noise, and sane word lengths score high —
+    standard webtext quality-filter shape (C4/Gopher-style rules)."""
+    len_component = F.least(token_count_col(text_col) / F.lit(50.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio_col(text_col) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio_col(text_col) * 5.0, F.lit(1.0))
+    digit_penalty = F.least(digit_ratio_col(text_col) * 5.0, F.lit(1.0))
+    wl = mean_word_len_col(text_col)
+    wl_component = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        0.35 * len_component + 0.25 * stop_component + 0.2 * wl_component
+        + 0.1 * (1.0 - punct_penalty) + 0.1 * (1.0 - digit_penalty),
+        6,
+    )
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Stable document fingerprint: md5 of lower-cased,
+    whitespace-collapsed text (the exact-dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One call attaching the full stats family."""
+    return docs.select(
+        "*",
+        token_count_col(text_col).alias("n_tokens"),
+        subword_count_col(text_col).alias("n_subwords"),
+        lang_id_col(text_col).alias("lang_pred"),
+        F.round(stopword_ratio_col(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio_col(text_col), 6).alias("punct_ratio"),
+        quality_score_col(text_col).alias("quality"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )
