@@ -49,11 +49,13 @@ class TestAnn:
     def test_ann_recall_vs_brute_force(self, spark, emb):
         queries = emb.orderBy("vec_id").limit(5)
         exact = brute_force_topk(emb, queries, k=5)
-        approx = ann_topk(emb, queries, k=5, n_planes=6, multiprobe_bits=1)
+        # tiny SF corpus (~50 vectors): coarse buckets (4 planes = 16
+        # buckets) + 1-bit multiprobe keep candidate sets meaningful
+        approx = ann_topk(emb, queries, k=5, n_planes=4, multiprobe_bits=1)
         e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
         recall = len(e & a) / len(e)
-        assert recall >= 0.4  # bucketed candidates, embeddings are clustered
+        assert recall >= 0.4
 
     def test_ann_subset_of_valid_scores(self, spark, emb):
         """ANN cosines must equal brute-force cosines for the same
