@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Timing forces FULL materialization of every output column via the
+noop sink (count() would let Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qizner_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "kg_triples",        # flagship end-to-end DAG
+    "ner_mentions",      # relational gazetteer NER (no UDF)
+    "ner_mentions_udf",  # Arrow detection operator
+    "minhash_dedup",     # MinHash+LSH near-dup
+    "ngram_jaccard",     # exact shingle jaccard
+    "similarity_topk",   # brute-force cosine top-k
+    "quality_scores",    # native text analysis
+    "q1_pricing",        # agg-heavy relational
+    "events_sessions",   # window functions
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(
+        "qizner-bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 8),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    # JVM/codegen warmup on the smallest SF
+    force(queries["ner_mentions"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "kg_docs_per_sec": round(n_docs / timings["kg_triples"], 2) if timings.get("kg_triples") else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,44 @@ class HashBiaffineScorer:
         return 1.0 / (1.0 + np.exp(-tri))
 
 
+class GazetteerSeqScorer:
+    """Sequence-labeling (BIO + CRF/Viterbi) twin of the gazetteer
+    scorer: emissions favor ``B-<type>`` at dictionary tokens and 'O'
+    elsewhere; decoding runs the numpy Viterbi (M16) with hard BIO
+    transition constraints and attaches the mean emission-softmax
+    prob (I2). Exercises the reference's seq arch end to end
+    (modules.py:1122-1146 forward, train_ner.py:463-475 assembly).
+    Single-token dictionary entries only (BIO seq path)."""
+
+    def __init__(self, alias: dict, strength: float = 5.0):
+        from qizner_spark.core.viterbi import bio_start_transitions, bio_transition_matrix
+
+        self.alias = {k: v for k, v in alias.items() if " " not in k}
+        types = sorted(set(self.alias.values()))
+        self.tags = ["O"] + [f"{p}-{t}" for t in types for p in ("B", "I")]
+        self.tag2id = {t: i for i, t in enumerate(self.tags)}
+        self.id2tag = dict(enumerate(self.tags))
+        self.trans = bio_transition_matrix(self.tags)
+        self.start = bio_start_transitions(self.tags)
+        self.strength = strength
+
+    def score_mentions(self, tokens, gold=()):
+        from qizner_spark.core.viterbi import assemble_seq_predictions, viterbi_decode
+
+        n = len(tokens)
+        if n == 0:
+            return []
+        em = np.zeros((n, len(self.tags)), dtype=np.float64)
+        for i, tok in enumerate(tokens):
+            t = self.alias.get(tok)
+            if t is not None:
+                em[i, self.tag2id[f"B-{t}"]] = self.strength
+            else:
+                em[i, self.tag2id["O"]] = self.strength
+        path = viterbi_decode(em, self.trans, self.start)
+        return assemble_seq_predictions(em, path, self.id2tag)
+
+
 # ---------------------------------------------------------------------------
 # Link scores + candidate-span pruning (M9 / M17)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Resume-from-checkpoint: skip work already committed to the sink.
+
+The reference materializes segmented/sampled datasets and REUSES them
+if present (/root/reference/data_reader.py:396-416) — the same
+pattern at engine level: every batch run anti-joins its input against
+the urls already in the committed sink snapshot, processes only the
+remainder, and APPENDS. Idempotent under retries (a url is processed
+at most once per sink) and restartable at any point. In production
+the sink is an Iceberg table and the url set comes from the current
+snapshot; in the sandbox it is a parquet directory.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def processed_keys(spark: SparkSession, sink_path: str, key: str = "url") -> DataFrame | None:
+    """Keys already present in the committed sink (None if no sink)."""
+    try:
+        return spark.read.parquet(sink_path).select(key).distinct()
+    except Exception:
+        return None
+
+
+def pending_only(pages: DataFrame, done: DataFrame | None, key: str = "url") -> DataFrame:
+    """Anti-join the input against the committed key set."""
+    if done is None:
+        return pages
+    return pages.join(done, key, "left_anti")
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    sink_path: str,
+    metrics_path: str | None = None,
+    **kg_kwargs,
+) -> dict:
+    """One resumable increment of the flagship pipeline:
+    filter-to-pending -> build KG -> append triples -> log metrics.
+    Crash/rerun safe: reprocessing is keyed off the sink itself."""
+    from qizner_spark.plans.pipeline import build_kg
+
+    done = processed_keys(spark, sink_path)
+    todo = pending_only(pages, done)
+    t0 = time.time()
+    n_pending = todo.count()
+    if n_pending == 0:
+        metrics = {"n_pending": 0, "n_new_triples": 0, "wall_sec": round(time.time() - t0, 3),
+                   "resumed": done is not None, "ts": int(time.time())}
+    else:
+        stages = build_kg(spark, todo, **kg_kwargs)
+        triples = stages["triples"].withColumn(
+            "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(64))
+        )
+        triples.write.mode("append").partitionBy("subj_bucket").parquet(sink_path)
+        n_new = spark.read.parquet(sink_path).count() if done is None else None
+        metrics = {
+            "n_pending": n_pending,
+            "n_new_triples": n_new if n_new is not None else stages["triples"].count(),
+            "wall_sec": round(time.time() - t0, 3),
+            "resumed": done is not None,
+            "ts": int(time.time()),
+        }
+    if metrics_path:
+        spark.createDataFrame([metrics]).write.mode("append").json(metrics_path)
+    return metrics

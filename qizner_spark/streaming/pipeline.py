@@ -1,0 +1,58 @@
+"""Streaming mention detection over a growing pages directory.
+
+The reference is strictly batch (SURVEY.md §2.9: no streaming ops) and
+the north_rule's resumability is satisfied with snapshot anti-joins
+(plans/checkpoint.py); this module additionally exposes the detection
+stage as a Structured Streaming flow for continuously-landing crawls:
+file-source pages -> stateless detection (mapInPandas works unchanged
+on streaming DataFrames) -> parquet sink with exactly-once via the
+streaming checkpoint. Watermarking is unnecessary: detection is
+stateless per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType, TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def stream_detect_mentions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    scorer_factory=None,
+    available_now: bool = True,
+):
+    """Start (and for available_now=True, run to completion) the
+    streaming detection job; returns the StreamingQuery."""
+    from qizner_spark.operators.mentions import detect_mentions
+    from qizner_spark.plans.pipeline import default_scorer_factory, extract_pages_text
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    docs = extract_pages_text(pages, validate=False)
+    mentions = detect_mentions(
+        docs, scorer_factory or default_scorer_factory,
+        key_col="url", text_col="text", lang_col="lang",
+    )
+    writer = (
+        mentions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
