@@ -122,6 +122,23 @@ def compare_runs_df(run1: DataFrame, run2: DataFrame, gold: DataFrame,
     )
 
 
+def confusion_matrix_df(pred: DataFrame, gold: DataFrame,
+                        keys: list[str] | None = None) -> DataFrame:
+    """E6: confusion counts over BOUNDARY-exact matches — join pred
+    and gold mentions on (doc, start, end) (type NOT in the key), then
+    crosstab gold type vs predicted type. Unmatched golds count
+    against 'O' predictions and vice versa (the reference's two-pointer
+    alignment, datautils.py:2282-2306, relationally)."""
+    keys = keys or ["doc_key"]
+    p = pred.select(*keys, "start", "end", F.col("ent_type").alias("pred_type")).dropDuplicates()
+    g = gold.select(*keys, "start", "end", F.col("ent_type").alias("gold_type")).dropDuplicates()
+    j = p.join(g, keys + ["start", "end"], "full_outer").select(
+        F.coalesce("gold_type", F.lit("O")).alias("gold_type"),
+        F.coalesce("pred_type", F.lit("O")).alias("pred_type"),
+    )
+    return j.groupBy("gold_type", "pred_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def mention_set_ops(a: DataFrame, b: DataFrame) -> dict[str, DataFrame]:
     """E7 diagnostics as native set operators."""
     cols = ["doc_key", "ent_type", "start", "end"]

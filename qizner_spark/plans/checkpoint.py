@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def processed_keys(spark: SparkSession, sink_path: str, key: str = "url") -> DataFrame | None:
-    """Keys already present in the committed sink (None if no sink)."""
+    """Keys already processed. Primary source is the processed-key
+    MANIFEST written next to the sink (documents yielding zero triples
+    must still count as done); falls back to the sink's own key column
+    for sinks written before the manifest existed. None if neither
+    exists."""
+    try:
+        return spark.read.parquet(f"{sink_path}_processed").select(key).distinct()
+    except Exception:
+        pass
     try:
         return spark.read.parquet(sink_path).select(key).distinct()
     except Exception:
@@ -55,16 +63,20 @@ def run_resumable(
         stages = build_kg(spark, todo, **kg_kwargs)
         triples = stages["triples"].withColumn(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(64))
-        )
+        ).persist()
         triples.write.mode("append").partitionBy("subj_bucket").parquet(sink_path)
-        n_new = spark.read.parquet(sink_path).count() if done is None else None
+        # commit the processed-key manifest AFTER the data write so a
+        # crash between the two reprocesses (idempotent) rather than
+        # losing work
+        todo.select("url").distinct().write.mode("append").parquet(f"{sink_path}_processed")
         metrics = {
             "n_pending": n_pending,
-            "n_new_triples": n_new if n_new is not None else stages["triples"].count(),
+            "n_new_triples": triples.count(),  # served from cache, no recompute
             "wall_sec": round(time.time() - t0, 3),
             "resumed": done is not None,
             "ts": int(time.time()),
         }
+        triples.unpersist()
     if metrics_path:
         spark.createDataFrame([metrics]).write.mode("append").json(metrics_path)
     return metrics

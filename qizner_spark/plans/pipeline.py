@@ -177,6 +177,9 @@ def run_with_metrics(
     the sink as ``_metrics`` when a path is given)."""
     t0 = time.time()
     stages = build_kg(spark, pages, **kw)
+    # persist the two reused intermediates so the DAG executes ONCE
+    stages["mentions"] = stages["mentions"].persist()
+    stages["triples"] = stages["triples"].persist()
     n_docs = stages["docs"].count()
     n_mentions = stages["mentions"].count()
     n_triples = stages["triples"].count()

@@ -13,36 +13,43 @@ from qizner_spark.operators.linking import (
 )
 
 
-def cc_dict(spark, edges):
+def cc_dict(spark, edges, threshold):
     df = spark.createDataFrame(edges, ["src", "dst"])
-    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=threshold).collect()
+    }
 
 
+# threshold=0 forces the DISTRIBUTED large-star/small-star path;
+# the big default takes the driver union-find fast path — both must
+# produce identical results.
+@pytest.mark.parametrize("threshold", [0, 200_000], ids=["distributed", "unionfind"])
 class TestConnectedComponents:
-    def test_chain(self, spark):
-        comp = cc_dict(spark, [("b", "c"), ("c", "d"), ("a", "b")])
+    def test_chain(self, spark, threshold):
+        comp = cc_dict(spark, [("b", "c"), ("c", "d"), ("a", "b")], threshold)
         assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
-    def test_two_components(self, spark):
-        comp = cc_dict(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+    def test_two_components(self, spark, threshold):
+        comp = cc_dict(spark, [("a", "b"), ("x", "y"), ("y", "z")], threshold)
         assert comp["a"] == comp["b"] == "a"
         assert comp["x"] == comp["y"] == comp["z"] == "x"
 
-    def test_cycle_and_cross_edges(self, spark):
-        comp = cc_dict(spark, [("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("9", "4")])
+    def test_cycle_and_cross_edges(self, spark, threshold):
+        comp = cc_dict(spark, [("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("9", "4")], threshold)
         assert set(comp.values()) == {"1"}
 
-    def test_star_hub(self, spark):
+    def test_star_hub(self, spark, threshold):
         edges = [("hub", f"n{i:03d}") for i in range(50)]
-        comp = cc_dict(spark, edges)
+        comp = cc_dict(spark, edges, threshold)
         assert set(comp.values()) == {"hub"}  # 'hub' < 'n000'
         assert len(comp) == 51
 
-    def test_assign_components_isolated(self, spark):
-        nodes = spark.createDataFrame([("a",), ("b",), ("lonely",)], ["node"])
-        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
-        got = {r["node"]: r["component"] for r in assign_components(nodes, edges).collect()}
-        assert got == {"a": "a", "b": "a", "lonely": "lonely"}
+def test_assign_components_isolated(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("lonely",)], ["node"])
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["node"]: r["component"] for r in assign_components(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "lonely": "lonely"}
 
 
 class TestLinking:
