@@ -128,6 +128,44 @@ class HashBiaffineScorer:
         return 1.0 / (1.0 + np.exp(-tri))
 
 
+class PrunedBiaffineScorer:
+    """The reference ``fast_predict`` path (O1/M17) on top of
+    :class:`HashBiaffineScorer`: compute adjacency link scores from
+    the token embeddings, keep only spans whose ENTIRE interior
+    passes ``link_threshold``, and run the expensive interaction only
+    on survivors — the model-side predicate pushdown. With
+    ``link_threshold = -inf`` it is exactly the dense path.
+    Parity: modules.py:810-896 (survivor gather), 225-286
+    (fast_decode), train_ner.py:634-643 (assembly)."""
+
+    def __init__(self, ent_types, dim: int = 64, seed: int = 42,
+                 link_threshold: float = 0.0, decode_threshold: float = 0.5):
+        self.dense = HashBiaffineScorer(ent_types, dim=dim, seed=seed)
+        self.ent_types = list(ent_types)
+        self.link_threshold = link_threshold
+        self.decode_threshold = decode_threshold
+
+    def score_mentions(self, tokens, gold=()):
+        n = len(tokens)
+        if n == 0:
+            return []
+        x = self.dense.embed(tokens)
+        links = link_scores(x)
+        starts, ends, mask = prune_spans(n, links, self.link_threshold)
+        if starts.size == 0:
+            return []
+        # score ONLY survivor spans: gather start/end head vectors
+        hs = np.einsum("nd,edh->enh", x, self.dense.w_start)  # [e,n,h]
+        he = np.einsum("nd,edh->enh", x, self.dense.w_end)
+        logits = np.einsum("esh,esh->se", hs[:, starts, :], he[:, ends, :]) / np.sqrt(HEAD_SIZE)
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        span_idx, ent_idx = np.where(probs >= self.decode_threshold)
+        return [
+            (self.ent_types[int(c)], int(starts[i]), int(ends[i]) + 1, float(probs[i, c]))
+            for i, c in zip(span_idx, ent_idx)
+        ]
+
+
 class GazetteerSeqScorer:
     """Sequence-labeling (BIO + CRF/Viterbi) twin of the gazetteer
     scorer: emissions favor ``B-<type>`` at dictionary tokens and 'O'

@@ -91,6 +91,42 @@ def truncate(
     return new_tokens, _clip_mentions(mentions, shift, len(new_tokens))
 
 
+def truncate_by_subtokens(
+    tokens: Sequence[str],
+    mentions: Sequence[Mention],
+    sub_tokens: Sequence[str],
+    ori_indexes: Sequence[int],
+    max_size: int = 512,
+) -> Segment:
+    """Truncate in SUBTOKEN units from the tail, removing WHOLE words
+    until the subtoken count fits, then clipping mentions to the
+    surviving words. Parity: datautils.py:1345-1369
+    (truncate_by_bert_tok_char_lst, direction='tail' only)."""
+    if len(sub_tokens) <= max_size:
+        return Segment(list(tokens), list(mentions), list(sub_tokens), list(ori_indexes))
+    need = len(sub_tokens) - max_size
+    # subtokens per word, walked from the end
+    counts: list[int] = [0] * len(tokens)
+    for oi in ori_indexes:
+        counts[oi] += 1
+    removed_subs = 0
+    removed_words = 0
+    for c in reversed(counts):
+        removed_subs += c
+        removed_words += 1
+        if removed_subs >= need:
+            break
+    keep_words = len(tokens) - removed_words
+    new_tokens, new_mentions = truncate(tokens, mentions, keep_words, "tail")
+    keep_subs = len(sub_tokens) - removed_subs
+    return Segment(
+        tokens=new_tokens,
+        mentions=new_mentions,
+        sub_tokens=list(sub_tokens[:keep_subs]),
+        ori_indexes=list(ori_indexes[:keep_subs]),
+    )
+
+
 def _split_once(seg: Segment, max_size: int, prefix_context_len: int) -> tuple[Segment, Segment | None]:
     """Split an over-long segment into a fitting head and a remainder.
     With a subtoken view, the cut is chosen in SUBTOKEN units and

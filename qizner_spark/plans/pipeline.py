@@ -89,8 +89,16 @@ def build_kg(
     scorer_factory=None,
     max_seg_len: int = 512,
     flat: bool = True,
+    persist_intermediates: bool = True,
 ) -> dict[str, DataFrame]:
-    """Run the full DAG; returns every intermediate plus ``triples``."""
+    """Run the full DAG; returns every intermediate plus ``triples``.
+
+    ``persist_intermediates`` materializes the mentions table once
+    (MEMORY_AND_DISK): the triples plan references it from five
+    branches (alias build, linking, provenance, edges, components),
+    and without persistence each action re-runs the Arrow detection
+    stage per branch. Production equivalent: write mentions to a
+    staging Iceberg table between phases."""
     scorer_factory = scorer_factory or default_scorer_factory
 
     docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
@@ -99,6 +107,10 @@ def build_kg(
         docs, scorer_factory, key_col="url", text_col="text", lang_col="lang",
         max_seg_len=max_seg_len, flat=flat,
     ).withColumnRenamed("doc_key", "url")
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 
     # provenance (warc_ts) joins back on url — url-partitioned on both
     # sides; broadcast NOT used (both sides big at scale), AQE decides.

@@ -6,6 +6,7 @@ from qizner_spark.core.segment import (
     sliding_context,
     split_by_delimiter,
     truncate,
+    truncate_by_subtokens,
 )
 
 TOKENS = [f"w{i}" for i in range(10)]
@@ -43,6 +44,25 @@ class TestTruncate:
     def test_fully_outside_dropped(self):
         _, ms = truncate(TOKENS, [("A", 8, 10)], 6, "tail")
         assert ms == []
+
+
+class TestTruncateBySubtokens:
+    def test_fits(self):
+        seg = truncate_by_subtokens(["w0"], [], ["a"], [0], max_size=5)
+        assert seg.tokens == ["w0"] and seg.sub_tokens == ["a"]
+
+    def test_removes_whole_words(self):
+        # words: w0(1 sub), w1(3 subs), w2(1 sub); max 3 -> need 2 ->
+        # removing w2 gives 1, still short -> remove w1 too
+        seg = truncate_by_subtokens(
+            ["w0", "w1", "w2"], [("A", 0, 1), ("B", 1, 3)],
+            ["a", "b1", "b2", "b3", "c"], [0, 1, 1, 1, 2], max_size=3,
+        )
+        assert seg.tokens == ["w0"]
+        assert seg.sub_tokens == ["a"]
+        assert seg.ori_indexes == [0]
+        # mention A survives; B clipped away entirely
+        assert seg.mentions == [("A", 0, 1)]
 
 
 class TestSegmentPlain:
