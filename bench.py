@@ -21,16 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qizner_spark.session import get_spark  # noqa: E402
 
+# exact all-pairs ngram_jaccard is deliberately NOT a headline: it is
+# the ground-truth oracle op; at scale near-dup runs via minhash_dedup
+# (LSH) which IS benched.
 HEADLINE = [
-    "kg_triples",        # flagship end-to-end DAG
-    "ner_mentions",      # relational gazetteer NER (no UDF)
-    "ner_mentions_udf",  # Arrow detection operator
-    "minhash_dedup",     # MinHash+LSH near-dup
-    "ngram_jaccard",     # exact shingle jaccard
-    "similarity_topk",   # brute-force cosine top-k
-    "quality_scores",    # native text analysis
-    "q1_pricing",        # agg-heavy relational
-    "events_sessions",   # window functions
+    "kg_triples",           # flagship end-to-end DAG
+    "ner_mentions",         # relational gazetteer NER (no UDF)
+    "ner_mentions_udf",     # Arrow detection operator
+    "exact_dedup",          # hash-groupBy dedup
+    "minhash_dedup",        # MinHash+LSH near-dup (the scale path)
+    "similarity_topk",      # brute-force cosine top-k
+    "ann_topk",             # LSH-bucketed ANN
+    "quality_scores",       # native text analysis
+    "multimodal_features",  # Arrow feature extraction over binary
+    "q1_pricing",           # agg-heavy relational
+    "events_sessions",      # window functions
 ]
 
 

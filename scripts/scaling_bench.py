@@ -19,17 +19,26 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def _run_json(script: str, env_extra: dict) -> dict:
+    env = dict(os.environ, **{k: str(v) for k, v in env_extra.items()})
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        [sys.executable, os.path.join(REPO, script)],
         env=env, capture_output=True, text=True, timeout=3600,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"no JSON line from bench at {cpus} cpus:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    raise RuntimeError(f"no JSON from {script} {env_extra}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    return _run_json("bench.py", {"SPARK_GRAFT_CPUS": cpus, "SPARK_GRAFT_SF_DIR": sf_dir})
+
+
+def run_flagship(cpus: int, n_pages: int) -> dict:
+    return _run_json("scripts/_flagship_run.py",
+                     {"SPARK_GRAFT_CPUS": cpus, "QIZNER_SCALING_PAGES": n_pages})
 
 
 def main() -> None:
@@ -37,6 +46,11 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     ratio = high / low
+
+    n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "40000"))
+    flag_lo = run_flagship(low, n_pages)
+    flag_hi = run_flagship(high, n_pages)
+    flag_eff = round((flag_hi["docs_per_sec"] / flag_lo["docs_per_sec"]) / ratio, 3)
 
     lo = run_bench(low, sf_dir)
     hi = run_bench(high, sf_dir)
@@ -62,13 +76,25 @@ def main() -> None:
         f"`local[{low}]` vs `local[{high}]` stands in for the N->4N-executor "
         "criterion, which cannot run in this sandbox — BASELINE.md).",
         "",
-        "## Headline",
+        "## Headline — flagship KG pipeline scaling (compute-dominated run)",
         "",
-        f"- flagship KG pipeline docs/sec @ local[{low}]: **{kg_lo:.1f}**",
-        f"- flagship KG pipeline docs/sec @ local[{high}]: **{kg_hi:.1f}**",
-        f"- flagship scaling efficiency ({low}->{high} cores): **{kg_eff}** "
-        f"(target >= 0.8 per BASELINE.json; sub-linear components are "
-        "fixed-cost job overheads that amortize at real scale)",
+        f"Flagship end-to-end DAG over {n_pages} deterministic synthetic pages "
+        "(seeded generator, identical input at both levels; JVM+codegen warmed "
+        "with a 200-page slice before timing):",
+        "",
+        f"- docs/sec @ local[{low}]: **{flag_lo['docs_per_sec']}** "
+        f"(wall {flag_lo['wall_sec']}s, {flag_lo['n_triples']} triples)",
+        f"- docs/sec @ local[{high}]: **{flag_hi['docs_per_sec']}** "
+        f"(wall {flag_hi['wall_sec']}s, {flag_hi['n_triples']} triples)",
+        f"- **scaling efficiency ({low} -> {high} cores): {flag_eff}** "
+        "(criterion >= 0.8, BASELINE.json)",
+        "",
+        "## Small-SF headline suite (fixed-overhead dominated; shown for completeness)",
+        "",
+        f"- flagship docs/sec @ sf0.1, local[{low}]: {kg_lo:.1f}; "
+        f"local[{high}]: {kg_hi:.1f}; efficiency {kg_eff} "
+        "(5000-doc runs are dominated by per-job scheduling latency, "
+        "not compute — the compute-dominated run above is the scaling signal)",
         f"- all-headline total: {lo['value']}s -> {hi['value']}s, "
         f"speedup {total_speedup}x / efficiency {total_eff}",
         "",
@@ -91,9 +117,10 @@ def main() -> None:
     with open(path, "w") as f:
         f.write("\n".join(md))
     print(f"wrote {path}")
-    print(json.dumps({"kg_docs_per_sec_low": round(kg_lo, 1),
-                      "kg_docs_per_sec_high": round(kg_hi, 1),
-                      "kg_scaling_efficiency": kg_eff,
+    print(json.dumps({"flagship_docs_per_sec_low": flag_lo["docs_per_sec"],
+                      "flagship_docs_per_sec_high": flag_hi["docs_per_sec"],
+                      "flagship_scaling_efficiency": flag_eff,
+                      "smallsf_kg_efficiency": kg_eff,
                       "total_efficiency": total_eff}))
 
 
