@@ -17,9 +17,10 @@ from qizner_spark.session import get_spark  # noqa: E402
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "40000"))
+    shuffle = int(os.environ.get("QIZNER_SHUFFLE_PARTITIONS", max(cpus * 2, 8)))
     spark = get_spark(
         "qizner-flagship-scaling", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 8),
+        shuffle_partitions=shuffle,
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")

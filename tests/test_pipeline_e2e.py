@@ -76,6 +76,20 @@ class TestGoldReplay:
         m = replay_f1(spark, corpus, "en", flat=False)
         assert m["precision"] > 0.9999 and m["recall"] > 0.9999
 
+    def test_onto_flat(self, spark):
+        corpus = read_corpus_jsonl(
+            spark, f"{REFERENCE_CORPORA}/onto/dev.jsonl", token_deli=" "
+        ).limit(200)
+        m = replay_f1(spark, corpus, "en", flat=True)
+        assert m["precision"] > 0.9999 and m["recall"] > 0.9999
+
+    def test_genia_nested(self, spark):
+        corpus = read_corpus_jsonl(
+            spark, f"{REFERENCE_CORPORA}/genia/dev.jsonl", token_deli=" "
+        ).limit(200)
+        m = replay_f1(spark, corpus, "en", flat=False)
+        assert m["precision"] > 0.9999 and m["recall"] > 0.9999
+
     def test_per_type_breakdown(self, spark):
         corpus = read_corpus_jsonl(
             spark, f"{REFERENCE_CORPORA}/conll03/test.jsonl", token_deli=" "
