@@ -126,32 +126,42 @@ def build_kg(
 
     canon = linked.join(F.broadcast(components), "entity_id")
 
-    type_triples = canon.select(
+    # Branch-local aggregation replaces a global dropDuplicates over
+    # the unioned triples: each branch groups on ITS OWN key while the
+    # rows are still narrow, so nothing re-shuffles after the union.
+    # prob = min of contributing mention probs (FIXTURES.md F5).
+    type_triples = canon.groupBy("url", "canonical_id", "ent_type").agg(
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+    ).select(
         F.col("canonical_id").alias("subj"), F.lit("type").alias("pred"),
         F.col("ent_type").alias("obj"), "url", "warc_ts", "prob",
     )
-    alias_triples = canon.select(
+    alias_triples = canon.groupBy("url", "canonical_id", "mention").agg(
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+    ).select(
         F.col("canonical_id").alias("subj"), F.lit("alias").alias("pred"),
         F.col("mention").alias("obj"), "url", "warc_ts", "prob",
     )
+    # co-mention edges over the per-doc DISTINCT canonical-entity set:
+    # the self-join runs on the already-canonical, already-deduped rows
+    # (no post-hoc dedupe, no join back to the 10^?-row pair table)
+    canon_doc = canon.groupBy("url", "canonical_id").agg(
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+    )
+    a, b = canon_doc.alias("a"), canon_doc.alias("b")
     canon_edges = (
-        edges.join(F.broadcast(components.withColumnRenamed("entity_id", "src")), "src")
-        .withColumnRenamed("canonical_id", "subj")
-        .join(
-            F.broadcast(
-                components.withColumnRenamed("entity_id", "dst")
-                .withColumnRenamed("canonical_id", "obj_c")
-            ),
-            "dst",
+        a.join(b, "url")
+        .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
+        .select(
+            F.col("a.canonical_id").alias("subj"),
+            F.lit("mentioned_with").alias("pred"),
+            F.col("b.canonical_id").alias("obj"),
+            F.col("url"),
+            F.col("a.warc_ts").alias("warc_ts"),
+            F.least("a.prob", "b.prob").alias("prob"),
         )
-        .join(canon.groupBy("url").agg(F.min("prob").alias("prob"),
-                                       F.min("warc_ts").alias("warc_ts")), "url")
-        .select("subj", F.lit("mentioned_with").alias("pred"),
-                F.col("obj_c").alias("obj"), "url", "warc_ts", "prob")
     )
-    triples = type_triples.unionByName(alias_triples).unionByName(canon_edges).dropDuplicates(
-        ["subj", "pred", "obj", "url"]
-    )
+    triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
 
     return {
         "docs": docs,

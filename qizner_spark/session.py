@@ -36,6 +36,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # pin the RPC endpoints: sandboxed hosts often have blackhole
+        # DNS, and any resolution attempt stalls jobs for 60-120 s
+        # intermittently (measured; local mode never needs real DNS)
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
