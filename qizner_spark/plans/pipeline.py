@@ -89,6 +89,7 @@ def build_kg(
     scorer_factory=None,
     max_seg_len: int = 512,
     flat: bool = True,
+    decode_threshold: float = 0.5,
     persist_intermediates: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every intermediate plus ``triples``.
@@ -105,7 +106,7 @@ def build_kg(
 
     mentions = detect_mentions(
         docs, scorer_factory, key_col="url", text_col="text", lang_col="lang",
-        max_seg_len=max_seg_len, flat=flat,
+        max_seg_len=max_seg_len, flat=flat, threshold=decode_threshold,
     ).withColumnRenamed("doc_key", "url")
     if persist_intermediates:
         from pyspark import StorageLevel

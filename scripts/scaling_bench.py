@@ -47,7 +47,7 @@ def main() -> None:
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     ratio = high / low
 
-    n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "40000"))
+    n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "12000"))
     flag_lo = run_flagship(low, n_pages)
     flag_hi = run_flagship(high, n_pages)
     flag_eff = round((flag_hi["docs_per_sec"] / flag_lo["docs_per_sec"]) / ratio, 3)
@@ -79,8 +79,11 @@ def main() -> None:
         "## Headline — flagship KG pipeline scaling (compute-dominated run)",
         "",
         f"Flagship end-to-end DAG over {n_pages} deterministic synthetic pages "
-        "(seeded generator, identical input at both levels; JVM+codegen warmed "
-        "with a 200-page slice before timing):",
+        "of 500 words each, scored by the dense HashBiaffine span model "
+        "(real O(n^2 x E) numpy per document — the compute shape of the "
+        "production transformer scorer, which dominates wall clock at "
+        "10^12-doc scale). Seeded generator, identical input at both levels; "
+        "JVM + python workers + codegen warmed before timing:",
         "",
         f"- docs/sec @ local[{low}]: **{flag_lo['docs_per_sec']}** "
         f"(wall {flag_lo['wall_sec']}s, {flag_lo['n_triples']} triples)",

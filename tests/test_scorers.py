@@ -85,6 +85,40 @@ class TestDensePathThroughOperator:
                 assert e1 <= s2
 
 
+class TestLongDocumentSegmentation:
+    def test_mentions_beyond_first_segment(self, spark):
+        """A 1200-token doc must segment (max 512) INSIDE the UDF and
+        still emit document-global offsets — the in-worker D3+D5."""
+        from qizner_spark.core.scoring import GazetteerScorer
+        from qizner_spark.operators.mentions import detect_mentions
+
+        text = " ".join((["pad"] * 99 + ["spark"]) * 12)  # spark at 99, 199, ...
+        docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+        out = detect_mentions(
+            docs, lambda: GazetteerScorer({"spark": "TECH"}, token_deli=" "),
+            key_col="doc_id", text_col="text", lang_col=None,
+            max_seg_len=512, flat=False,
+        ).collect()
+        starts = sorted(r["start"] for r in out)
+        assert starts == [99 + 100 * i for i in range(12)]
+        assert all(r["mention"] == "spark" for r in out)
+
+    def test_prefix_context_does_not_duplicate(self, spark):
+        from qizner_spark.core.scoring import GazetteerScorer
+        from qizner_spark.operators.mentions import detect_mentions
+
+        text = " ".join((["pad"] * 9 + ["spark"]) * 30)  # 300 tokens
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = detect_mentions(
+            docs, lambda: GazetteerScorer({"spark": "TECH"}, token_deli=" "),
+            key_col="doc_id", text_col="text", lang_col=None,
+            max_seg_len=64, prefix_context_len=8, flat=False,
+        ).collect()
+        starts = sorted(r["start"] for r in out)
+        # overlap regions re-detect the same span; dedupe must collapse
+        assert starts == [9 + 10 * i for i in range(30)]
+
+
 class TestSeqScorerProb:
     def test_prob_semantics(self):
         s = GazetteerSeqScorer({"spark": "TECH"})
