@@ -199,9 +199,7 @@ def run_with_metrics(
     per-run metrics rows the north_rule requires; written alongside
     the sink as ``_metrics`` when a path is given)."""
     t0 = time.time()
-    stages = build_kg(spark, pages, **kw)
-    # persist the two reused intermediates so the DAG executes ONCE
-    stages["mentions"] = stages["mentions"].persist()
+    stages = build_kg(spark, pages, **kw)  # mentions already persisted inside
     stages["triples"] = stages["triples"].persist()
     n_docs = stages["docs"].count()
     n_mentions = stages["mentions"].count()
