@@ -143,24 +143,30 @@ def build_kg(
         F.col("canonical_id").alias("subj"), F.lit("alias").alias("pred"),
         F.col("mention").alias("obj"), "url", "warc_ts", "prob",
     )
-    # co-mention edges over the per-doc DISTINCT canonical-entity set:
-    # the self-join runs on the already-canonical, already-deduped rows
-    # (no post-hoc dedupe, no join back to the 10^?-row pair table)
-    canon_doc = canon.groupBy("url", "canonical_id").agg(
+    # co-mention edges: pairs over the per-doc DISTINCT entity set,
+    # endpoints rewritten to canonical ids (north_star: CC runs over
+    # the co-mention graph itself, so co-mentioned entities often
+    # share a component — subj == obj is then an intra-cluster edge).
+    # The self-join input is pre-deduped; the only post-join shuffle is
+    # one groupBy that folds duplicate canonical pairs per url.
+    ent_doc = canon.groupBy("url", "entity_id", "canonical_id").agg(
         F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
     )
-    a, b = canon_doc.alias("a"), canon_doc.alias("b")
+    a, b = ent_doc.alias("a"), ent_doc.alias("b")
     canon_edges = (
         a.join(b, "url")
-        .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
-        .select(
-            F.col("a.canonical_id").alias("subj"),
-            F.lit("mentioned_with").alias("pred"),
-            F.col("b.canonical_id").alias("obj"),
+        .where(F.col("a.entity_id") < F.col("b.entity_id"))
+        .groupBy(
             F.col("url"),
-            F.col("a.warc_ts").alias("warc_ts"),
-            F.least("a.prob", "b.prob").alias("prob"),
+            F.col("a.canonical_id").alias("subj"),
+            F.col("b.canonical_id").alias("obj"),
         )
+        .agg(
+            F.min(F.col("a.warc_ts")).alias("warc_ts"),
+            F.min(F.least("a.prob", "b.prob")).alias("prob"),
+        )
+        .select("subj", F.lit("mentioned_with").alias("pred"),
+                F.col("obj"), "url", "warc_ts", "prob")
     )
     triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
 
