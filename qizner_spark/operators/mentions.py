@@ -48,17 +48,23 @@ MENTIONS_SCHEMA = StructType(
     ]
 )
 
-_SCORER_CACHE: dict[int, object] = {}
-
-
 def _get_scorer(factory: Callable[[], object]) -> object:
     """Per-worker scorer singleton (reference: model loaded once, not
-    per batch — the mapInPandas analog of per-partition model load)."""
-    key = id(factory)
-    scorer = _SCORER_CACHE.get(key)
+    per batch — the mapInPandas analog of per-partition model load).
+
+    The scorer is memoized ON the deserialized factory object: the
+    closure shipped to a python worker is deserialized once per stage
+    and reused across that stage's tasks, so the scorer is built once
+    per worker per stage — and never aliased across different
+    factories (an id()-keyed dict could collide after GC recycles
+    addresses, silently reusing the WRONG model)."""
+    scorer = getattr(factory, "_qizner_scorer", None)
     if scorer is None:
         scorer = factory()
-        _SCORER_CACHE[key] = scorer
+        try:
+            factory._qizner_scorer = scorer
+        except AttributeError:
+            pass  # unsettable callables rebuild per batch (still correct)
     return scorer
 
 

@@ -39,7 +39,11 @@ def main() -> None:
     if mode == "model":
         n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "12000"))
         words = 500
-        kw = {"scorer_factory": model_scorer_factory, "decode_threshold": 0.93}
+        # threshold tuned to a realistic ~5-15 mentions/doc (webtext NER
+        # density); 0.93 yields ~33/doc which quadratically inflates the
+        # co-mention pair volume beyond anything real pages produce
+        thr = float(os.environ.get("QIZNER_DECODE_THRESHOLD", "0.94"))
+        kw = {"scorer_factory": model_scorer_factory, "decode_threshold": thr}
     else:
         n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "60000"))
         words = 60
