@@ -52,7 +52,11 @@ def main() -> None:
 
     spark = get_spark(
         "qizner-bench", master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus) * 2, 8),
+        # shuffle partitions sized to the DATA (sf0.1 shuffles are MBs;
+        # 16 partitions keeps every partition well above the tiny-task
+        # floor) rather than to core count — at 100 TB this knob scales
+        # with input bytes, not executors
+        shuffle_partitions=16,
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
