@@ -22,6 +22,19 @@ from qizner_spark.gazetteer import GAZETTEER_SINGLE, SUPER_TYPES, gazetteer_sql_
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _gaz_prob_values() -> str:
+    """Gazetteer VALUES with the exact detection pseudo-probability
+    per surface (6-dp decimals: pseudo_prob is 0.5 + k/200000 with
+    k < 100000, so the literal is exact)."""
+    from qizner_spark.core.scoring import pseudo_prob
+
+    rows = ", ".join(
+        f"('{m}', '{t}', {pseudo_prob(m):.6f})"
+        for m, t in sorted(GAZETTEER_SINGLE.items())
+    )
+    return f"(VALUES {rows}) AS gazp(mention, ent_type, prob)"
+
+
 # ---------------------------------------------------------------------------
 # shared builders
 # ---------------------------------------------------------------------------
@@ -288,10 +301,14 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     sess = ev.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
+    # total_value: sum in DECIMAL so the result is order-independent
+    # (double summation differs in the last digit across partition
+    # orders/engines), then back to double for the hash compare.
     return sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("new_sess").alias("n_sessions"),
-        F.round(F.sum("value"), 3).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+        .cast("double").alias("total_value"),
     )
 
 
@@ -352,12 +369,41 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qizner_spark.operators.multimodal import attach_fake_media, extract_features
+    """Arrow decode UDF -> scalar columns only: the driver's
+    canonicalizer sorts a pandas frame, so ARRAY columns (unhashable
+    lists) crash it — project the 16 histogram bins as int columns."""
+    from qizner_spark.operators.multimodal import N_BINS, attach_fake_media, extract_features
 
-    return extract_features(attach_fake_media(_documents(spark, sf_dir)))
+    feats = extract_features(attach_fake_media(_documents(spark, sf_dir)))
+    bins = [F.element_at("counts", i + 1).alias(f"bin{i:02d}") for i in range(N_BINS)]
+    return feats.select("media_id", "kind", *bins, "width", "height")
+
+
+def _kg_single_factory():
+    from qizner_spark.core.scoring import GazetteerScorer
+
+    return GazetteerScorer(GAZETTEER_SINGLE, token_deli=" ")
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship DAG with the SINGLE-token gazetteer: every stage
+    (detection, linking, co-mention, CC, triple assembly) is then
+    SQL-expressible, so the whole chain gets a DuckDB oracle.
+    warc_ts -> epoch long and prob -> rounded double for engine-
+    neutral hashing."""
+    from qizner_spark.plans.pipeline import build_kg_from_sf_dir
+
+    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_single_factory)["triples"]
+    return t.select(
+        "subj", "pred", "obj", "url",
+        F.col("warc_ts").cast("long").alias("warc_ts"),
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
+
+
+def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship DAG with the FULL gazetteer (multi-token surfaces ->
+    true span detection + prob-greedy flattening); rows-only check."""
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
     return build_kg_from_sf_dir(spark, sf_dir)["triples"]
@@ -369,7 +415,7 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction DAG on sf0.001 -> triples."""
-    return _kg_triples(spark, SF0001)
+    return _kg_triples_full(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -410,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal + flagship
         "multimodal_features": _multimodal_features,
         "kg_triples": _kg_triples,
+        "kg_triples_full": _kg_triples_full,
     }
 
 
@@ -498,8 +545,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "combine_by_text": f"""
+            -- CAST: bare sum() over integers is HUGEINT in DuckDB
+            -- (float64 via pandas) vs Spark's BIGINT -> driver hash miss
             SELECT {norm} AS text_key, min(doc_id) AS canonical_id,
-                   count(*) AS n_docs, sum(n_chars) AS total_chars
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard": f"""
@@ -585,8 +634,8 @@ def oracle_sql() -> dict[str, str]:
                               epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
                        FROM events)
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
-                   round(sum(value), 3) AS total_value
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS total_value
             FROM g GROUP BY user_id
         """,
         "q1_pricing": """
@@ -608,5 +657,73 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        # the WHOLE flagship chain (pages synthesis -> gazetteer
+        # detection -> alias linking -> per-url co-mention edges ->
+        # connected components -> three triple branches) as one query.
+        # zh pages char-tokenize and never match the word gazetteer,
+        # so only lang <> 'zh' pages produce mentions.
+        "kg_triples": f"""
+            WITH RECURSIVE
+            pages AS (
+                SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       1700000000 + doc_id * 60 AS warc_ts, text
+                FROM documents WHERE lang <> 'zh'),
+            toks AS (SELECT url, warc_ts, unnest(string_split(text, ' ')) AS mention FROM pages),
+            linked AS (
+                SELECT t.url, t.warc_ts, t.mention, gazp.ent_type,
+                       CAST(gazp.prob AS DOUBLE) AS prob,
+                       'kb:' || gazp.ent_type || ':' || lower(t.mention) AS entity_id
+                FROM toks t JOIN {_gaz_prob_values()} USING (mention)),
+            per_doc AS (SELECT DISTINCT url, entity_id FROM linked),
+            edges AS (SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+                      FROM per_doc a JOIN per_doc b
+                      ON a.url = b.url AND a.entity_id < b.entity_id),
+            sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT entity_id AS node FROM linked),
+            reach AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node),
+            comp AS (SELECT node AS entity_id, min(comp) AS canonical_id FROM reach GROUP BY node),
+            canon AS (SELECT l.*, c.canonical_id FROM linked l JOIN comp c USING (entity_id)),
+            t_type AS (
+                SELECT canonical_id AS subj, 'type' AS pred, ent_type AS obj, url,
+                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
+                FROM canon GROUP BY url, canonical_id, ent_type),
+            t_alias AS (
+                SELECT canonical_id AS subj, 'alias' AS pred, mention AS obj, url,
+                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
+                FROM canon GROUP BY url, canonical_id, mention),
+            ent_doc AS (
+                SELECT url, entity_id, canonical_id,
+                       min(warc_ts) AS warc_ts, min(prob) AS prob
+                FROM canon GROUP BY url, entity_id, canonical_id),
+            t_edge AS (
+                SELECT a.canonical_id AS subj, 'mentioned_with' AS pred,
+                       b.canonical_id AS obj, a.url AS url,
+                       min(a.warc_ts) AS warc_ts,
+                       round(min(least(a.prob, b.prob)), 6) AS prob
+                FROM ent_doc a JOIN ent_doc b
+                ON a.url = b.url AND a.entity_id < b.entity_id
+                GROUP BY a.url, a.canonical_id, b.canonical_id)
+            SELECT subj, pred, obj, url, warc_ts, prob FROM t_type
+            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_alias
+            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_edge
+        """,
+        # fake decoder = byte histogram of the UTF-8 text payload; the
+        # texts are ASCII so codepoints == bytes (unicode(c) per char)
+        "multimodal_features": f"""
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       (['image', 'audio', 'video'])[1 + CAST(doc_id % 3 AS INT)] AS kind,
+                       list_transform(string_split(text, ''), c -> unicode(c)) AS bts,
+                       strlen(text) AS n
+                FROM documents)
+            SELECT media_id, kind,
+                   {", ".join(f"CAST(len(list_filter(bts, b -> b // 16 = {k})) AS INT) AS bin{k:02d}" for k in range(16))},
+                   CAST(greatest(CAST(floor(sqrt(n)) AS BIGINT), 1) AS INT) AS width,
+                   CAST(greatest(n // greatest(CAST(floor(sqrt(n)) AS BIGINT), 1), 1) AS INT) AS height
+            FROM m
         """,
     }

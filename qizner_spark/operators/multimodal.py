@@ -37,7 +37,8 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
-        StructField("feature", ArrayType(FloatType())),  # 16-bin byte histogram
+        StructField("feature", ArrayType(FloatType())),  # normalized 16-bin byte histogram
+        StructField("counts", ArrayType(IntegerType())),  # raw 16-bin counts (exact ints)
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
     ]
@@ -88,12 +89,13 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         edges = np.linspace(0, 256, N_BINS + 1)
         for pdf in batches:
-            feats, ws, hs = [], [], []
+            feats, counts, ws, hs = [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 arr, w, h = decoder(bytes(payload), kind)
                 hist, _ = np.histogram(arr, bins=edges)
                 total = max(arr.size, 1)
                 feats.append((hist / total).astype(np.float32).tolist())
+                counts.append(hist.astype(np.int32).tolist())
                 ws.append(w)
                 hs.append(h)
             yield pd.DataFrame(
@@ -101,6 +103,7 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
                     "media_id": pdf["media_id"].astype("int64"),
                     "kind": pdf["kind"],
                     "feature": feats,
+                    "counts": counts,
                     "width": np.asarray(ws, dtype="int32"),
                     "height": np.asarray(hs, dtype="int32"),
                 }

@@ -1,21 +1,28 @@
 """Local stand-in for the driver's correctness gate: run every
 queries()[name] on Spark and oracle_sql()[name] on DuckDB over the
-same sf dir; compare row count, column-name set, and the exact
-multiset of values (floats compared exactly AND with tolerance, so
-rounding-boundary risks surface before the driver sees them).
+same sf dir, then compare THE WAY THE DRIVER DOES — both sides to
+pandas, columns sorted by name, rows sorted by all columns, values
+hashed raw. Strictness notes (r01 postmortem):
+
+  * dtype KIND must match (DuckDB HUGEINT -> float64 silently differs
+    from Spark BIGINT -> int64 even when numerically equal);
+  * float values must be bit-identical (no rounding here) — queries
+    must round/cast identically on both sides;
+  * array columns crash pandas sort_values, exactly like the driver
+    (multimodal r01) — that crash is a FAIL here, not an exception.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
-from collections import Counter
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from qizner_spark.session import get_spark  # noqa: E402
@@ -26,19 +33,43 @@ TABLES = [
 ]
 
 
-def canon(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return int(v)
-    return v
+def canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    return pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
-def row_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+def compare_frames(s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(c.lower() for c in s.columns) != sorted(c.lower() for c in d.columns):
+        return [f"cols spark={sorted(s.columns)} duck={sorted(d.columns)}"]
+    if len(s) != len(d):
+        problems.append(f"rowcount spark={len(s)} duck={len(d)}")
+    try:
+        sc, dc = canon_frame(s), canon_frame(d)
+    except TypeError as e:  # unhashable list column — same crash as the driver
+        return [f"canonicalize crash (driver would error): {e}"]
+    for c in sc.columns:
+        sk, dk = sc[c].dtype.kind, dc[c].dtype.kind
+        if sk != dk:
+            problems.append(f"dtype kind mismatch col={c} spark={sc[c].dtype} duck={dc[c].dtype}")
+    if problems:
+        return problems
+    for c in sc.columns:
+        a, b = sc[c].to_numpy(), dc[c].to_numpy()
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            eq = (a == b) | (np.isnan(a.astype("float64")) & np.isnan(b.astype("float64")))
+        else:
+            eq = np.array([x == y for x, y in zip(a, b)])
+        if not bool(eq.all()):
+            bad = int(np.argmin(eq))
+            problems.append(
+                f"values differ col={c}: {int((~eq).sum())} cells, "
+                f"e.g. row {bad}: spark={a[bad]!r} duck={b[bad]!r}"
+            )
+    return problems
 
 
 def main() -> int:
@@ -59,45 +90,26 @@ def main() -> int:
         sql = oracles.get(name)
         try:
             df = fn(spark, sf_dir)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_pdf = df.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(spark_rows)} rows, cols={spark_cols})")
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, cols={list(spark_pdf.columns)})")
             continue
         try:
-            rel = con.sql(sql)
-            duck_cols = list(rel.columns)
-            duck_rows = rel.fetchall()
+            duck_pdf = con.sql(sql).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
             continue
-        problems = []
-        if sorted(spark_cols) != sorted(c.lower() for c in duck_cols) and sorted(
-            c.lower() for c in spark_cols
-        ) != sorted(c.lower() for c in duck_cols):
-            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-        if not problems:
-            ms, md = row_multiset(spark_cols, spark_rows), row_multiset(duck_cols, duck_rows)
-            if ms != md:
-                diff_s = ms - md
-                diff_d = md - ms
-                problems.append(
-                    f"values differ: {sum(diff_s.values())} spark-only / "
-                    f"{sum(diff_d.values())} duck-only; e.g. spark {list(diff_s)[:2]} "
-                    f"duck {list(diff_d)[:2]}"
-                )
+        problems = compare_frames(spark_pdf, duck_pdf)
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"ok   {name}: {len(spark_rows)} rows match oracle")
+            print(f"ok   {name}: {len(spark_pdf)} rows match oracle (dtype-strict)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
