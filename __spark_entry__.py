@@ -35,6 +35,104 @@ def _gaz_prob_values() -> str:
     return f"(VALUES {rows}) AS gazp(mention, ent_type, prob)"
 
 
+# md5 hex-prefix integers — computable identically in Python
+# (int(md5(s).hexdigest()[:8], 16)) and DuckDB; the base hash of the
+# whole fuzzy-dedup family (qizner_spark/operators/dedup.py)
+def _md5_32_sql(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _md5_hi_lo_sql(s: str) -> tuple[str, str]:
+    return (
+        f"CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)",
+        f"CAST(concat('0x', substr(md5({s}), 9, 8)) AS BIGINT)",
+    )
+
+
+def _minhash_oracle_sql(shingles: str, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.5) -> str:
+    """All-pairs signature-Jaccard estimate, gated on sharing >= 1
+    LSH band (exact slice equality) — the same OUTPUT as the Spark
+    banded-join path, enumerated oracle-style."""
+    from qizner_spark.operators.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    a_lst = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    b_lst = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    rpb = num_hashes // bands
+    return f"""
+        WITH sh AS ({shingles}),
+        hs AS (SELECT doc_id,
+                      list_transform(sh, s -> {_md5_32_sql('s')}) AS h
+               FROM sh),
+        sigs AS (SELECT doc_id,
+                        list_transform(list_zip({a_lst}, {b_lst}), p ->
+                            list_min(list_transform(h, x ->
+                                (p[1] * x + p[2]) % 2305843009213693951))) AS sig
+                 FROM hs),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+                  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+        est AS (SELECT id_a, id_b,
+                       CAST(len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) AS DOUBLE)
+                           / {num_hashes} AS e,
+                       len(list_filter(generate_series(0, {bands - 1}), bb ->
+                           list_slice(sa, bb * {rpb} + 1, bb * {rpb} + {rpb})
+                             = list_slice(sb, bb * {rpb} + 1, bb * {rpb} + {rpb}))) AS n_bands
+                FROM pairs)
+        SELECT id_a, id_b, round(e, 6) AS est_jaccard
+        FROM est WHERE e >= {threshold} AND n_bands > 0
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 10) -> str:
+    """md5 64-bit token hashes (hi/lo 32-bit halves) -> bit-majority
+    simhash -> all-pairs Hamming filter. The Spark chunk blocking is
+    lossless, so no blocking condition is needed here."""
+    hi, lo = _md5_hi_lo_sql("w")
+    vote = (
+        "list_sum(list_transform(generate_series(0, 31), b -> "
+        "CASE WHEN 2 * len(list_filter({h}, x -> (x >> b) & 1 = 1)) >= n "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        h AS (SELECT doc_id, len(toks) AS n,
+                     list_transform(toks, w -> {hi}) AS his,
+                     list_transform(toks, w -> {lo}) AS los
+              FROM t),
+        halves AS (SELECT doc_id,
+                          {vote.format(h='los')} AS lo32,
+                          {vote.format(h='his')} AS hi32
+                   FROM h),
+        sig AS (SELECT doc_id,
+                       CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                                 THEN u - CAST(18446744073709551616 AS HUGEINT)
+                                 ELSE u END AS BIGINT) AS simhash
+                FROM (SELECT doc_id,
+                             CAST(hi32 AS HUGEINT) * 4294967296 + lo32 AS u
+                      FROM halves))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _hyperplane_bucket_sql(vec: str, dim: int = 64, n_planes: int = 4, seed: int = 23) -> str:
+    """DuckDB mirror of similarity.hyperplane_signature: the same
+    seeded plane matrix, inlined as repr'd double literals (repr
+    round-trips exactly, so both engines parse the same doubles)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    terms = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(x) for x in planes[p])
+        dot = f"list_sum(list_transform(list_zip({vec}, [{arr}]), p -> p[1] * p[2]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 # ---------------------------------------------------------------------------
 # shared builders
 # ---------------------------------------------------------------------------
@@ -340,7 +438,7 @@ def _q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------- non-SQL-expressible (rows-only checks) -------
+# ------- fuzzy dedup / ANN family (md5-prefix hashing = oracle-able) -------
 
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.dedup import minhash_dedup_pairs
@@ -355,17 +453,22 @@ def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Testdata embeddings are near-orthogonal (max pair cosine ~0.51
+    at sf0.01), so the threshold sits where real candidate pairs
+    exist; planted-duplicate semantics are pytest-verified."""
     from qizner_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    return embedding_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4)
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.similarity import ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
+    # rank only: cosine's last ulp may differ between engines
+    return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4, dim=64) \
+        .select("query_id", "nbr_id", "rank")
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +760,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        # minhash: same universal-hash coefficients inlined; band
+        # membership checked by literal 4-element slice equality (the
+        # Spark side joins on the band string's xxhash64 — identical
+        # semantics modulo 64-bit collisions)
+        "minhash_dedup": _minhash_oracle_sql(shingles),
+        # simhash: md5 64-bit token hashes -> per-bit majority vote;
+        # chunk blocking is lossless (max_hamming+1 chunks), so the
+        # oracle is the plain all-pairs Hamming filter
+        "simhash_dedup": _simhash_oracle_sql(),
+        # embedding near-dup: same seeded hyperplanes -> candidate iff
+        # buckets within Hamming 1, exact cosine filter on candidates
+        "embedding_near_dup": f"""
+            WITH v AS (SELECT vec_id AS id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                         {_hyperplane_bucket_sql("v")} AS bucket
+                  FROM v)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b
+            ON a.id < b.id
+               AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
+            WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                  / (a.nrm * b.nrm) >= 0.35
+        """,
+        # ann_topk: bucket + 1-bit multiprobe candidates -> exact
+        # cosine rank within candidates (rank ties broken by nbr_id)
+        "ann_topk": f"""
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                         {_hyperplane_bucket_sql("v")} AS bucket
+                  FROM v),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb
+                  FROM n WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS nbr_id,
+                       list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+                           / (q.qn * c.nrm) AS cosine
+                FROM q JOIN n c
+                ON bit_count(xor(CAST(q.qb AS BIGINT), CAST(c.bucket AS BIGINT))) <= 1
+                   AND c.vec_id != q.query_id),
+            ranked AS (SELECT query_id, nbr_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cosine DESC, nbr_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 10
         """,
         # the WHOLE flagship chain (pages synthesis -> gazetteer
         # detection -> alias linking -> per-url co-mention edges ->

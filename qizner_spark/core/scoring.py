@@ -99,13 +99,15 @@ class HashBiaffineScorer:
     the true O(n^2 * E) data volume.
     """
 
-    def __init__(self, ent_types: Sequence[str], dim: int = 64, seed: int = 42):
+    def __init__(self, ent_types: Sequence[str], dim: int = 64, seed: int = 42,
+                 interact_type: str = "self_attn"):
         rng = np.random.RandomState(seed)
         self.ent_types = list(ent_types)
         self.dim = dim
         n_ent = len(self.ent_types)
         self.w_start = rng.randn(n_ent, dim, HEAD_SIZE).astype(np.float32) * 0.1
         self.w_end = rng.randn(n_ent, dim, HEAD_SIZE).astype(np.float32) * 0.1
+        self.interaction = Interaction(interact_type, n_ent, HEAD_SIZE, rng)
 
     def embed(self, tokens: Sequence[str]) -> np.ndarray:
         n = len(tokens)
@@ -115,17 +117,101 @@ class HashBiaffineScorer:
             out[i] = r.randn(self.dim).astype(np.float32)
         return out
 
-    def score_matrix(self, tokens: Sequence[str]) -> np.ndarray:
-        """[n(n+1)/2, n_ent] sigmoid scores in row-major span order."""
+    def heads(self, tokens: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+        """per-entity start/end head vectors: ([e,n,h], [e,n,h])."""
         x = self.embed(tokens)  # [n, d]
-        # per-entity start/end heads: [e, n, h]
         hs = np.einsum("nd,edh->enh", x, self.w_start)
         he = np.einsum("nd,edh->enh", x, self.w_end)
-        # scaled dot-product interaction: [e, n, n]
-        logits = np.einsum("enh,emh->enm", hs, he) / np.sqrt(HEAD_SIZE)
+        return hs, he
+
+    def score_matrix(self, tokens: Sequence[str]) -> np.ndarray:
+        """[n(n+1)/2, n_ent] sigmoid scores in row-major span order."""
+        hs, he = self.heads(tokens)
+        logits = self.interaction.matrix(hs, he)  # [e, n, n]
         starts, ends = span_indices(len(tokens))
         tri = logits[:, starts, ends].T  # [n_spans, e] upper triangle, row-major
         return 1.0 / (1.0 + np.exp(-tri))
+
+
+class Interaction:
+    """Span start/end interaction — the reference's user-selectable
+    ``interact_type`` knob (train_ner.py:787):
+
+    * ``self_attn`` (M5, default): scaled dot product
+      (modules.py:627-631);
+    * ``biaffine`` (M6): bilinear with bias-augmented hiddens,
+      start^T W end per entity (modules.py:59-108; the reference
+      zero-inits W — here seeded uniform so the stand-in is
+      non-degenerate);
+    * ``add_attn`` (M7): tanh(start + end) . v (modules.py:111-139);
+    * ``simple_concat`` (M7): [start; end] . v, computed DECOMPOSED as
+      start.v1 + end.v2 — no [e,n,n,h] tensor ever materializes
+      (modules.py:142-168);
+    * ``complex_concat`` (M7): [s; e; s-e; s*e] . v, decomposed to
+      s.(v1+v3) + e.(v2-v3) + weighted-dot(s, e*v4)
+      (modules.py:170-211).
+
+    ``matrix`` scores all n^2 pairs ([e,n,h] -> [e,n,n]); ``pairs``
+    scores gathered (start, end) lists ([e,s,h] -> [s,e]) — the
+    fast-predict path. Both views agree elementwise (pytest parity).
+    """
+
+    TYPES = ("self_attn", "biaffine", "add_attn", "simple_concat", "complex_concat")
+
+    def __init__(self, interact_type: str, n_ent: int, head_size: int,
+                 rng: np.random.RandomState):
+        if interact_type not in self.TYPES:
+            raise ValueError(f"interact_type must be one of {self.TYPES}, got {interact_type!r}")
+        self.kind = interact_type
+        h = head_size
+        self.h = h
+        if interact_type == "biaffine":
+            self.w = (rng.uniform(-0.1, 0.1, size=(n_ent, h + 1, h + 1))).astype(np.float32)
+        elif interact_type == "add_attn":
+            self.v = rng.uniform(-0.1, 0.1, size=h).astype(np.float32)
+        elif interact_type == "simple_concat":
+            self.v = rng.uniform(-0.1, 0.1, size=2 * h).astype(np.float32)
+        elif interact_type == "complex_concat":
+            self.v = rng.uniform(-0.1, 0.1, size=4 * h).astype(np.float32)
+
+    @staticmethod
+    def _bias(t: np.ndarray) -> np.ndarray:
+        return np.concatenate([t, np.ones_like(t[..., :1])], axis=-1)
+
+    def matrix(self, hs: np.ndarray, he: np.ndarray) -> np.ndarray:
+        """[e,n,h] x [e,m,h] -> logits [e,n,m] (n=start, m=end)."""
+        if self.kind == "self_attn":
+            return np.einsum("enh,emh->enm", hs, he) / np.sqrt(self.h)
+        if self.kind == "biaffine":
+            return np.einsum("eni,eij,emj->enm", self._bias(hs), self.w, self._bias(he))
+        if self.kind == "add_attn":
+            return np.tanh(hs[:, :, None, :] + he[:, None, :, :]) @ self.v
+        if self.kind == "simple_concat":
+            a = hs @ self.v[: self.h]   # [e,n]
+            b = he @ self.v[self.h :]   # [e,m]
+            return a[:, :, None] + b[:, None, :]
+        # complex_concat: s.(v1+v3) + e.(v2-v3) + (s*e).v4
+        h = self.h
+        v1, v2, v3, v4 = self.v[:h], self.v[h : 2 * h], self.v[2 * h : 3 * h], self.v[3 * h :]
+        a = hs @ (v1 + v3)
+        b = he @ (v2 - v3)
+        cross = np.einsum("enh,emh->enm", hs * v4, he)
+        return a[:, :, None] + b[:, None, :] + cross
+
+    def pairs(self, hs_s: np.ndarray, he_e: np.ndarray) -> np.ndarray:
+        """Gathered spans: [e,s,h] x [e,s,h] -> logits [s,e]."""
+        if self.kind == "self_attn":
+            return np.einsum("esh,esh->se", hs_s, he_e) / np.sqrt(self.h)
+        if self.kind == "biaffine":
+            return np.einsum("esi,eij,esj->se", self._bias(hs_s), self.w, self._bias(he_e))
+        if self.kind == "add_attn":
+            return (np.tanh(hs_s + he_e) @ self.v).T
+        if self.kind == "simple_concat":
+            return (hs_s @ self.v[: self.h] + he_e @ self.v[self.h :]).T
+        h = self.h
+        v1, v2, v3, v4 = self.v[:h], self.v[h : 2 * h], self.v[2 * h : 3 * h], self.v[3 * h :]
+        return (hs_s @ (v1 + v3) + he_e @ (v2 - v3)
+                + np.einsum("esh,esh->es", hs_s * v4, he_e)).T
 
 
 class PrunedBiaffineScorer:
@@ -139,8 +225,10 @@ class PrunedBiaffineScorer:
     (fast_decode), train_ner.py:634-643 (assembly)."""
 
     def __init__(self, ent_types, dim: int = 64, seed: int = 42,
-                 link_threshold: float = 0.0, decode_threshold: float = 0.5):
-        self.dense = HashBiaffineScorer(ent_types, dim=dim, seed=seed)
+                 link_threshold: float = 0.0, decode_threshold: float = 0.5,
+                 interact_type: str = "self_attn"):
+        self.dense = HashBiaffineScorer(ent_types, dim=dim, seed=seed,
+                                        interact_type=interact_type)
         self.ent_types = list(ent_types)
         self.link_threshold = link_threshold
         self.decode_threshold = decode_threshold
@@ -155,9 +243,8 @@ class PrunedBiaffineScorer:
         if starts.size == 0:
             return []
         # score ONLY survivor spans: gather start/end head vectors
-        hs = np.einsum("nd,edh->enh", x, self.dense.w_start)  # [e,n,h]
-        he = np.einsum("nd,edh->enh", x, self.dense.w_end)
-        logits = np.einsum("esh,esh->se", hs[:, starts, :], he[:, ends, :]) / np.sqrt(HEAD_SIZE)
+        hs, he = self.dense.heads(tokens)
+        logits = self.dense.interaction.pairs(hs[:, starts, :], he[:, ends, :])
         probs = 1.0 / (1.0 + np.exp(-logits))
         span_idx, ent_idx = np.where(probs >= self.decode_threshold)
         return [

@@ -139,8 +139,18 @@ def _split_once(seg: Segment, max_size: int, prefix_context_len: int) -> tuple[S
         if len(seg.sub_tokens) <= max_size:
             return seg, None
         cut = max_size - 1
-        while seg.ori_indexes[cut] == seg.ori_indexes[cut + 1]:
+        while cut > 0 and seg.ori_indexes[cut] == seg.ori_indexes[cut + 1]:
             cut -= 1
+        if cut == 0 and seg.ori_indexes[0] == seg.ori_indexes[1]:
+            # the FIRST word alone has >= max_size subtokens (possible
+            # via zheng_process, whose output has no per-word cap —
+            # unlike tokenize_words' 5-subtoken limit): never split a
+            # word, so emit it whole as the head; this head exceeds
+            # max_size by the word's tail but guarantees progress
+            # instead of the old negative-index crash.
+            first_word = seg.ori_indexes[0]
+            while cut + 1 < len(seg.ori_indexes) and seg.ori_indexes[cut + 1] == first_word:
+                cut += 1
         word_cut = seg.ori_indexes[cut]
         n_prev_subs = cut + 1
         n_prev_toks = word_cut + 1

@@ -21,7 +21,7 @@ family generalizes them for webtext training pipelines.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 MERSENNE = (1 << 61) - 1
+
+
+def _md5_32(s: str) -> int:
+    """32-bit integer from the md5 hex prefix — the base hash for
+    shingles/tokens. Chosen over crc32 because DuckDB can compute the
+    IDENTICAL value (CAST('0x' || substr(md5(s),1,8) AS BIGINT)), so
+    every downstream signature is oracle-checkable."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _md5_64_signed(s: str) -> int:
+    """Signed 64-bit integer from the md5 hex prefix (two's
+    complement) — DuckDB: hi/lo 32-bit halves recombined."""
+    v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def normalized_text(col: str = "text") -> F.Column:
@@ -113,7 +128,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         shingles = [" ".join(toks)]
     else:
         shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return np.fromiter((zlib.crc32(s.encode()) for s in shingles), dtype=np.int64)
+    return np.fromiter((_md5_32(s) for s in shingles), dtype=np.int64)
+
+
+def minhash_coeffs(num_hashes: int = 64, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash coefficients. Bounded < 2^30 so a*h + b with a
+    32-bit base hash stays < 2^62: exact in numpy int64 AND DuckDB
+    BIGINT (no silent wraparound on either side)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 30, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, 1 << 30, size=num_hashes).astype(np.int64)
+    return a, b
 
 
 def minhash_signatures(
@@ -121,11 +146,9 @@ def minhash_signatures(
     id_col: str = "doc_id", text_col: str = "text", seed: int = 13,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<LONG>[num_hashes]) in one Arrow pass.
-    Universal hashing (a*h + b) mod p over crc32 shingle hashes —
-    deterministic across workers and runs."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    Universal hashing (a*h + b) mod p over md5-prefix shingle hashes —
+    deterministic across workers, runs, and engines."""
+    a, b = minhash_coeffs(num_hashes, seed)
     schema = StructType([StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,12 +164,18 @@ def minhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, num_hashes: int | None = None
+) -> DataFrame:
     """Band the signature, bucket-join within (band, band-hash):
     docs sharing any band become candidates. Native explode +
-    self-join grouped per bucket — never a global cross join."""
-    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
-    rows_per_band = int(sig_len_row["n"]) // bands
+    self-join grouped per bucket — never a global cross join.
+
+    Pass ``num_hashes`` to keep the plan fully lazy; inferring it
+    runs a driver-side ``first()`` action mid-plan (fallback only)."""
+    if num_hashes is None:
+        num_hashes = int(signatures.select(F.size("sig").alias("n")).first()["n"])
+    rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -173,7 +202,7 @@ def minhash_dedup_pairs(
     """LSH candidates verified by the SIGNATURE Jaccard estimate
     (fraction of agreeing minhashes)."""
     sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     sa = sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
     return (
@@ -197,7 +226,9 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over unigram token hashes (bit-majority vote),
-    vectorized in numpy."""
+    vectorized in numpy. Token hash = md5 64-bit prefix, identically
+    computable in DuckDB (hi/lo hex halves), so signatures and pairs
+    are oracle-checkable."""
     schema = StructType([StructField("doc_id", LongType()), StructField("simhash", LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -206,9 +237,9 @@ def simhash_signatures(
             out = []
             for text in pdf[text_col]:
                 toks = text.split(" ")
-                h32 = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64)
-                h32b = np.fromiter((zlib.crc32(t.encode(), 0x9E3779B9) for t in toks), dtype=np.uint64)
-                h64 = (h32 << np.uint64(32)) | h32b  # [T]
+                h64 = np.fromiter(
+                    (_md5_64_signed(t) for t in toks), dtype=np.int64
+                ).astype(np.uint64)  # two's complement view
                 bits = (h64[:, None] >> bit_idx[None, :]) & np.uint64(1)  # [T, 64]
                 votes = bits.sum(axis=0) * 2 >= len(toks)
                 sig = int((votes.astype(np.uint64) << bit_idx).sum())
@@ -218,18 +249,34 @@ def simhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def simhash_chunk_bounds(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(shift, width) per blocking chunk. With ``max_hamming + 1``
+    chunks, any pair within the distance shares >= 1 exact chunk
+    (pigeonhole) — so blocking never drops a qualifying pair. The old
+    fixed 4x16-bit scheme silently missed distances 4+."""
+    # floor of 2 keeps every chunk <= 32 bits (a 64-bit mask literal
+    # overflows LONG); 2 chunks still block distance-0 pairs correctly
+    n_chunks = max(min(max_hamming + 1, n_bits), 2)
+    bounds = []
+    for c in range(n_chunks):
+        lo = c * n_bits // n_chunks
+        hi = (c + 1) * n_bits // n_chunks
+        bounds.append((lo, hi - lo))
+    return bounds
+
+
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming, blocked on
-    16-bit chunks: any pair within distance 3 shares at least one of
-    the 4 chunks exactly (pigeonhole), so the join stays bucketed."""
+    """Near-dup pairs with Hamming distance <= max_hamming. Blocking:
+    ``max_hamming + 1`` bit-chunks — a qualifying pair shares at least
+    one chunk exactly, so the bucketed join is lossless AND never a
+    cross join. Output therefore equals the all-pairs filter."""
+    chunk_exprs = ", ".join(
+        f"named_struct('chunk', {c}, 'val', shiftright(simhash, {lo}) & {(1 << width) - 1}L)"
+        for c, (lo, width) in enumerate(simhash_chunk_bounds(max_hamming))
+    )
     chunked = signatures.select(
         "doc_id", "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> named_struct("
-                "'chunk', c, 'val', (simhash >> (c * 16)) & 65535))"
-            )
-        ).alias("cc"),
+        F.explode(F.expr(f"array({chunk_exprs})")).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
@@ -237,7 +284,8 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int").alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
@@ -250,21 +298,45 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, n_planes: int = 4, seed: int = 23,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Native double-precision
-    arithmetic (zip_with/aggregate) — at scale, pre-bucket with the
-    similarity module's hyperplane LSH; here the join is on a single
-    all-rows key only after norm pre-filtering."""
+    """Pairs with cosine >= threshold, candidate-blocked by random
+    hyperplane LSH: exact cosine is verified only for pairs whose
+    sign-bit buckets are within Hamming distance 1 (same bucket or a
+    single plane apart — the symmetric form of ann_topk's 1-bit
+    multiprobe). The join is an equi-join on the probe bucket, never
+    a cross join — the 100 TB shape. True near-dups (cosine ~1) agree
+    on every plane w.h.p.; recall for borderline pairs grows with
+    fewer planes / more probes.
+
+    Pass ``dim`` to keep the plan lazy (else a first() infers it)."""
+    from qizner_spark.operators.similarity import hyperplane_signature
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    v = hyperplane_signature(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        ).withColumn(
+            "norm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
+        ),
+        dim, n_planes, "v", seed,
+    )
+    # each row also probes its 1-bit-flip buckets; pair (a, b) with
+    # hamming(bucket_a, bucket_b) <= 1 meets on b's true bucket
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+    ]
+    a = v.withColumn("probe", F.explode(F.array(*probes))).alias("a")
+    b = v.alias("b")
     dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    ).withColumn("norm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
-    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(b, F.col("a.probe") == F.col("b.bucket"))
+        .where(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", F.expr(dot) / (F.col("a.norm") * F.col("b.norm")))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -6,10 +6,14 @@ with plain DataFrame ops — no GraphFrames dependency. Converges in
 O(log n) rounds; each round is two shuffles.
 
 Skew notes (explicit, per north_rule):
-  * per-node neighborhood minima use WINDOW MIN (partitioned by node),
-    never collect_set/collect_list — a hub entity with 10^8 neighbors
-    would OOM an array but streams fine through a window aggregate;
-  * AQE skew-join splitting handles the hub partitions on the shuffle;
+  * per-node neighborhood minima are SALTED two-phase aggregates: a
+    hub entity with 10^8 neighbors splits into ``salt_buckets``
+    deterministic sub-keys (pmod(xxhash64(dst))) before any single
+    reducer sees it; the min is re-attached through a salt-replicated
+    equi-join, so the hot node's rows spread over ``salt_buckets``
+    partitions instead of one;
+  * ``salt_buckets=1`` falls back to a window min (one shuffle, fine
+    for moderate skew under AQE) — both paths return identical rows;
   * lineage is cut with localCheckpoint each round so the iterative
     plan doesn't snowball.
 """
@@ -18,13 +22,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+DEFAULT_SALT_BUCKETS = 16
 
-def _large_star(edges: DataFrame) -> DataFrame:
+
+def _with_neighborhood_min(df: DataFrame, salt_buckets: int) -> DataFrame:
+    """Attach ``m`` = min(src, min(dst) over rows sharing src).
+
+    salt_buckets > 1: explicit hub-key salting — phase 1 groups on
+    (src, salt) so map-side combine + 'salt_buckets'-way split bound
+    any reducer's share of a hub node; phase 2 folds the per-salt
+    minima (tiny); the re-attach join keys on (src, salt) so the hub's
+    edge rows also never land in one partition. Deterministic salt
+    (hash of dst), no rand(): identical results across retries.
+    """
+    if salt_buckets <= 1:
+        w = Window.partitionBy("src")
+        return df.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)))
+    partial = salted.groupBy("src", "_salt").agg(F.min("dst").alias("_pm"))
+    mins = partial.groupBy("src").agg(F.min("_pm").alias("_mn"))
+    replicated = mins.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return (
+        salted.join(replicated, ["src", "_salt"])
+        .withColumn("m", F.least(F.col("src"), F.col("_mn")))
+        .drop("_salt", "_mn")
+    )
+
+
+def _large_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's minimum
     neighborhood label min(N(u) ∪ {u})."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    w = Window.partitionBy("src")
-    with_min = sym.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    with_min = _with_neighborhood_min(sym, salt_buckets)
     return (
         with_min.where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -32,14 +63,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Orient edges large->small, then connect every neighbor (and u
     itself) to the minimum label of the oriented neighborhood."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    w = Window.partitionBy("src")
-    with_min = oriented.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    with_min = _with_neighborhood_min(oriented, salt_buckets)
     nbr_edges = with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     self_edges = with_min.select(F.col("src"), F.col("m").alias("dst"))
     return (
@@ -85,6 +115,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     driver_threshold: int = 200_000,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, component) where component is
     the lexicographically smallest node id in the component.
@@ -113,7 +144,7 @@ def connected_components(
         return spark.createDataFrame(list(comp.items()), "node string, component string")
     prev_sig = None
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(cur, salt_buckets), salt_buckets).localCheckpoint()
         sig = _signature(cur)
         if sig == prev_sig:
             break

@@ -73,13 +73,17 @@ def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 8,
 def ann_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 6,
     multiprobe_bits: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "vec_id", seed: int = 23,
+    query_id_col: str = "vec_id", seed: int = 23, dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket
     with the query (plus single-bit-flip probe buckets). Recall grows
     with multiprobe_bits/n_planes; the scored pair count drops from
-    |Q|x|C| to bucket-local."""
-    dim = len(corpus.select(vec_col).first()[0])
+    |Q|x|C| to bucket-local.
+
+    Pass ``dim`` to keep the plan fully lazy (else a driver-side
+    first() action infers it mid-plan)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = hyperplane_signature(
         with_norm(corpus.select(F.col(id_col).alias("nbr_id"), vec_col), vec_col), dim,
         n_planes, vec_col, seed,

@@ -3,11 +3,16 @@
 The reference materializes segmented/sampled datasets and REUSES them
 if present (/root/reference/data_reader.py:396-416) — the same
 pattern at engine level: every batch run anti-joins its input against
-the urls already in the committed sink snapshot, processes only the
-remainder, and APPENDS. Idempotent under retries (a url is processed
-at most once per sink) and restartable at any point. In production
-the sink is an Iceberg table and the url set comes from the current
-snapshot; in the sandbox it is a parquet directory.
+the urls already committed, processes only the remainder, and
+APPENDS. Restartable at any point; a url's triples land in the sink
+at most once because the done-set is the UNION of the manifest and
+the sink's own keys: if a crash lands between the data append and
+the manifest append, the rerun sees those urls in the sink and skips
+them (zero-triple urls, which never reach the sink, are reprocessed
+— and again produce nothing, so the rerun is a no-op for them).
+Spark's parquet job commit is atomic at job level (_temporary
+staging), so each append is all-or-nothing. In production the sink
+is an Iceberg table and the key set comes from the current snapshot.
 """
 
 from __future__ import annotations
@@ -15,22 +20,35 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
+
+
+def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | None:
+    """Distinct key column of a parquet path, or None ONLY when the
+    path does not exist. Any other failure (corrupt footer, permission
+    denied) re-raises: silently treating a broken manifest as missing
+    would re-append every url's triples."""
+    try:
+        return spark.read.parquet(path).select(key).distinct()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def processed_keys(spark: SparkSession, sink_path: str, key: str = "url") -> DataFrame | None:
-    """Keys already processed. Primary source is the processed-key
-    MANIFEST written next to the sink (documents yielding zero triples
-    must still count as done); falls back to the sink's own key column
-    for sinks written before the manifest existed. None if neither
-    exists."""
-    try:
-        return spark.read.parquet(f"{sink_path}_processed").select(key).distinct()
-    except Exception:
-        pass
-    try:
-        return spark.read.parquet(sink_path).select(key).distinct()
-    except Exception:
-        return None
+    """Keys already processed = manifest keys UNION sink keys.
+
+    The manifest records documents that yielded zero triples; the
+    sink itself covers the crash window where data committed but the
+    manifest append did not. None when neither exists yet."""
+    manifest = _keys_if_exists(spark, f"{sink_path}_processed", key)
+    sink = _keys_if_exists(spark, sink_path, key)
+    if manifest is None:
+        return sink
+    if sink is None:
+        return manifest
+    return manifest.union(sink).distinct()
 
 
 def pending_only(pages: DataFrame, done: DataFrame | None, key: str = "url") -> DataFrame:
@@ -65,9 +83,10 @@ def run_resumable(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(64))
         ).persist()
         triples.write.mode("append").partitionBy("subj_bucket").parquet(sink_path)
-        # commit the processed-key manifest AFTER the data write so a
-        # crash between the two reprocesses (idempotent) rather than
-        # losing work
+        # manifest AFTER the data write: a crash between the two is
+        # reconciled on rerun because processed_keys unions the sink's
+        # own url column — already-appended urls are skipped, never
+        # appended twice
         todo.select("url").distinct().write.mode("append").parquet(f"{sink_path}_processed")
         metrics = {
             "n_pending": n_pending,

@@ -121,3 +121,27 @@ class TestEmbeddingNearDup:
         pairs = embedding_near_dup_pairs(emb.limit(100), threshold=0.99)
         # must run without error; self-pairs excluded by id_a < id_b
         assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+
+    def test_planted_clusters_found_with_bucketed_plan(self, spark):
+        """Planted near-duplicate clusters (cosine ~0.9999) must ALL
+        be recovered through the LSH-bucketed path, and the physical
+        plan must stay an equi-join (no cartesian fallback)."""
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(8, 16)
+        rows, expected, vid = [], set(), 0
+        for i in range(8):
+            for j in range(3):  # 3 near-copies per cluster
+                v = base[i] + rng.randn(16) * 0.01
+                v = v / np.linalg.norm(v)
+                rows.append((vid + j, [float(x) for x in v]))
+            expected |= {(vid, vid + 1), (vid, vid + 2), (vid + 1, vid + 2)}
+            vid += 3
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = embedding_near_dup_pairs(emb, threshold=0.99, dim=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == expected
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -15,11 +15,10 @@ class TestContractShape:
         q, o = entrymod.queries(), entrymod.oracle_sql()
         assert set(o) <= set(q)
         missing_oracle = set(q) - set(o)
-        # non-SQL-expressible ops are known and bounded
-        assert missing_oracle == {
-            "minhash_dedup", "simhash_dedup", "embedding_near_dup",
-            "ann_topk", "multimodal_features", "kg_triples",
-        }
+        # the only rows-only query: the multi-token-gazetteer flagship
+        # (prob-greedy span flattening isn't SQL-expressible; the
+        # single-token flagship kg_triples IS fully oracled)
+        assert missing_oracle == {"kg_triples_full"}
 
     def test_queries_are_callables(self):
         assert all(callable(f) for f in entrymod.queries().values())

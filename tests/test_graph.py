@@ -45,6 +45,32 @@ class TestConnectedComponents:
         assert set(comp.values()) == {"hub"}  # 'hub' < 'n000'
         assert len(comp) == 51
 
+def test_salted_equals_unsalted_on_skewed_hub(spark):
+    """Explicit skew salting (north_rule): a hub node with ~200
+    neighbors plus chained tails. The salted distributed path
+    (salt_buckets=16), the window path (salt_buckets=1), and the
+    driver union-find must all emit identical components."""
+    edges = [("hub", f"n{i:03d}") for i in range(200)]           # star skew
+    edges += [(f"n{i:03d}", f"n{i:03d}x") for i in range(0, 200, 7)]  # tails
+    edges += [("za", "zb"), ("zb", "zc")]                        # separate comp
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    salted = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=0, salt_buckets=16).collect()
+    }
+    window = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=0, salt_buckets=1).collect()
+    }
+    unionfind = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=10**6).collect()
+    }
+    assert salted == window == unionfind
+    comps = {c for _, c in salted}
+    assert comps == {"hub", "za"}  # min-id representatives
+
+
 def test_assign_components_isolated(spark):
     nodes = spark.createDataFrame([("a",), ("b",), ("lonely",)], ["node"])
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])

@@ -47,6 +47,43 @@ class TestPrunedVsDense:
         assert [(t, s, e) for t, s, e, _ in got] == [(t, s, e) for t, s, e, _ in want]
         assert np.allclose([m[3] for m in got], [m[3] for m in want])
 
+    @pytest.mark.parametrize(
+        "interact", ["self_attn", "biaffine", "add_attn", "simple_concat", "complex_concat"]
+    )
+    def test_interactions_matrix_pairs_parity(self, interact):
+        """M5/M6/M7 knob: for EVERY interact_type the gathered-pair
+        view (fast predict) must equal the dense matrix elementwise,
+        and the pruned scorer at -inf must reproduce dense decode."""
+        from qizner_spark.core.scoring import span_indices
+
+        dense = HashBiaffineScorer(ENTS, interact_type=interact)
+        hs, he = dense.heads(TOKENS)
+        full = dense.interaction.matrix(hs, he)  # [e,n,n]
+        starts, ends = span_indices(len(TOKENS))
+        gathered = dense.interaction.pairs(hs[:, starts, :], he[:, ends, :])  # [s,e]
+        assert np.allclose(gathered, full[:, starts, ends].T, atol=1e-5)
+
+        pruned = PrunedBiaffineScorer(ENTS, link_threshold=-math.inf, interact_type=interact)
+        mat = dense.score_matrix(TOKENS)
+        want = sorted(decode_sigmoid(mat, len(TOKENS), dict(enumerate(ENTS))))
+        got = sorted(pruned.score_mentions(TOKENS))
+        assert [(t, s, e) for t, s, e, _ in got] == [(t, s, e) for t, s, e, _ in want]
+        assert np.allclose([m[3] for m in got], [m[3] for m in want], atol=1e-5)
+
+    def test_interactions_differ_from_each_other(self):
+        """The knob actually changes scores (no silent aliasing)."""
+        mats = {}
+        for it in ["self_attn", "biaffine", "add_attn", "simple_concat", "complex_concat"]:
+            mats[it] = HashBiaffineScorer(ENTS, interact_type=it).score_matrix(TOKENS)
+        kinds = list(mats)
+        for i in range(len(kinds)):
+            for j in range(i + 1, len(kinds)):
+                assert not np.allclose(mats[kinds[i]], mats[kinds[j]])
+
+    def test_unknown_interact_type_rejected(self):
+        with pytest.raises(ValueError):
+            HashBiaffineScorer(ENTS, interact_type="bogus")
+
     def test_pruned_is_subset(self):
         dense = HashBiaffineScorer(ENTS)
         pruned = PrunedBiaffineScorer(ENTS, link_threshold=0.0)

@@ -112,6 +112,27 @@ class TestSegmentSubtokens:
         segs = segment(toks, [], max_size=2, sub_tokens=subs, ori_indexes=[0, 1])
         assert len(segs) == 1
 
+    def test_oversized_first_word_no_crash(self):
+        """A single word with >= max_size subtokens (possible via
+        zheng_process, which has no per-word cap) used to underflow
+        the backtrack into negative indices; now the oversized word
+        ships whole as its own segment."""
+        toks = ["huge", "w1", "w2"]
+        subs = [f"h{i}" for i in range(5)] + ["a", "b"]
+        oris = [0] * 5 + [1, 2]
+        segs = segment(toks, [], max_size=3, sub_tokens=subs, ori_indexes=oris)
+        assert [s.tokens for s in segs] == [["huge"], ["w1", "w2"]]
+        assert segs[0].sub_tokens == ["h0", "h1", "h2", "h3", "h4"]  # whole word
+        assert segs[1].doc_offset == 1
+
+    def test_single_oversized_word_document(self):
+        toks = ["huge"]
+        subs = [f"h{i}" for i in range(7)]
+        segs = segment(toks, [], max_size=3, sub_tokens=subs, ori_indexes=[0] * 7)
+        non_empty = [s for s in segs if s.tokens]
+        assert [s.tokens for s in non_empty] == [["huge"]]
+        assert non_empty[0].sub_tokens == subs
+
     def test_multiway_split_offsets(self):
         toks = [f"w{i}" for i in range(9)]
         subs = [f"s{i}" for i in range(9)]

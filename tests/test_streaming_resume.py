@@ -67,3 +67,38 @@ class TestResume:
 
     def test_processed_keys_missing_sink(self, spark, tmp_path):
         assert processed_keys(spark, str(tmp_path / "nope")) is None
+
+    def test_crash_between_data_and_manifest_no_duplicates(self, spark, sf_dir, tmp_path):
+        """Simulate a crash AFTER the triples append but BEFORE the
+        manifest append: the manifest dir is deleted. The rerun must
+        skip the already-sunk urls (done-set unions the sink itself)
+        instead of appending their triples a second time."""
+        import shutil
+
+        pages = pages_from_documents(spark, sf_dir).limit(30)
+        sink = str(tmp_path / "triples")
+        run_resumable(spark, pages, sink)
+        n_rows = spark.read.parquet(sink).count()
+        shutil.rmtree(f"{sink}_processed")  # lose the manifest
+        m2 = run_resumable(spark, pages, sink)
+        assert spark.read.parquet(sink).count() == n_rows  # no double-append
+        # zero-triple urls (zh pages) may legitimately reprocess;
+        # urls with sunk triples must not
+        sunk = {r["url"] for r in spark.read.parquet(sink).select("url").distinct().collect()}
+        reprocessed = m2["n_pending"]
+        assert reprocessed <= pages.count() - len(sunk)
+
+    def test_corrupt_manifest_raises_not_silently_reprocesses(self, spark, sf_dir, tmp_path):
+        import os
+
+        pages = pages_from_documents(spark, sf_dir).limit(10)
+        sink = str(tmp_path / "triples")
+        run_resumable(spark, pages, sink)
+        # corrupt the manifest: a non-parquet file in the directory
+        mdir = f"{sink}_processed"
+        for f in os.listdir(mdir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(mdir, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+        with pytest.raises(Exception):
+            processed_keys(spark, sink).collect()
