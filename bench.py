@@ -85,7 +85,11 @@ def main() -> None:
         "n_docs": n_docs,
         "kg_docs_per_sec": round(n_docs / timings["kg_triples"], 2) if timings.get("kg_triples") else None,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    # orderly shutdown: without it the JVM teardown races the python
+    # worker daemons and the tail logs a harmless-but-noisy
+    # BrokenPipeError (seen in BENCH_r01)
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -48,7 +48,12 @@ def main() -> None:
         n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "60000"))
         words = 60
         kw = {}
-    shuffle = int(os.environ.get("QIZNER_SHUFFLE_PARTITIONS", max(cpus * 2, 8)))
+    # FIXED shuffle partitions at every parallelism level: the knob
+    # sizes to DATA (bench.py doctrine), and the scaling criterion
+    # compares the same job at two cluster sizes — per-level tuning
+    # would make the levels different jobs. 32 matches the sandbox
+    # default and keeps AQE coalescing behavior identical.
+    shuffle = int(os.environ.get("QIZNER_SHUFFLE_PARTITIONS", 32))
     spark = get_spark(
         "qizner-flagship-scaling", master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
@@ -63,16 +68,30 @@ def main() -> None:
     # warmup: JVM + python workers + codegen on a small slice
     build_kg(spark, pages.limit(64), **kw)["triples"].write.format("noop").mode("overwrite").save()
 
+    phases = os.environ.get("QIZNER_SCALING_PHASES") == "1"
     t0 = time.time()
     stages = build_kg(spark, pages, **kw)
-    stages["triples"].write.format("noop").mode("overwrite").save()
+    marks = {}
+    if phases:
+        # materialize stage by stage to attribute wall clock
+        stages["mentions"].write.format("noop").mode("overwrite").save()
+        marks["t_detect"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        stages["components"].write.format("noop").mode("overwrite").save()
+        marks["t_link_cc"] = round(time.time() - t1, 3)
+        t2 = time.time()
+        stages["triples"].write.format("noop").mode("overwrite").save()
+        marks["t_assemble"] = round(time.time() - t2, 3)
+    else:
+        stages["triples"].write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     n_triples = stages["triples"].count()
     print(json.dumps({
         "mode": mode, "n_pages": n_pages, "words_per_page": words, "cpus": cpus,
         "wall_sec": round(wall, 3), "docs_per_sec": round(n_pages / wall, 2),
-        "n_triples": n_triples,
-    }))
+        "n_triples": n_triples, **marks,
+    }), flush=True)
+    spark.stop()  # orderly python-worker teardown (no BrokenPipe noise)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,19 @@ def run_flagship(cpus: int, n_pages: int) -> dict:
                      {"SPARK_GRAFT_CPUS": cpus, "QIZNER_SCALING_PAGES": n_pages})
 
 
+def run_flagship_median(cpus: int, n_pages: int, n_runs: int) -> dict:
+    """Median-of-n docs/sec (fresh JVM each run): single runs on this
+    gVisor host vary enough that a one-off number is not evidence —
+    the r01 history recorded 0.67/0.82/0.67 across three single-run
+    regenerations of the same workload."""
+    runs = [run_flagship(cpus, n_pages) for _ in range(n_runs)]
+    runs.sort(key=lambda r: r["docs_per_sec"])
+    med = runs[len(runs) // 2]
+    med = dict(med)
+    med["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+    return med
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # N=4 -> 4N=16 cores: measured on this gVisor host, >=24-thread JVMs
@@ -51,9 +64,10 @@ def main() -> None:
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     ratio = high / low
 
-    n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "4000"))
-    flag_lo = run_flagship(low, n_pages)
-    flag_hi = run_flagship(high, n_pages)
+    n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "8000"))
+    n_runs = int(os.environ.get("QIZNER_SCALING_RUNS", "3"))
+    flag_lo = run_flagship_median(low, n_pages, n_runs)
+    flag_hi = run_flagship_median(high, n_pages, n_runs)
     flag_eff = round((flag_hi["docs_per_sec"] / flag_lo["docs_per_sec"]) / ratio, 3)
 
     lo = run_bench(low, sf_dir)
@@ -90,11 +104,14 @@ def main() -> None:
         "JVM + python workers + codegen warmed before timing:",
         "",
         f"- docs/sec @ local[{low}]: **{flag_lo['docs_per_sec']}** "
-        f"(wall {flag_lo['wall_sec']}s, {flag_lo['n_triples']} triples)",
+        f"(median of {flag_lo['all_docs_per_sec']}; wall {flag_lo['wall_sec']}s, "
+        f"{flag_lo['n_triples']} triples)",
         f"- docs/sec @ local[{high}]: **{flag_hi['docs_per_sec']}** "
-        f"(wall {flag_hi['wall_sec']}s, {flag_hi['n_triples']} triples)",
+        f"(median of {flag_hi['all_docs_per_sec']}; wall {flag_hi['wall_sec']}s, "
+        f"{flag_hi['n_triples']} triples)",
         f"- **scaling efficiency ({low} -> {high} cores): {flag_eff}** "
-        "(criterion >= 0.8, BASELINE.json)",
+        f"(criterion >= 0.8, BASELINE.json; medians over {n_runs} fresh-JVM "
+        "runs per level)",
         "",
         "## Small-SF headline suite (fixed-overhead dominated; shown for completeness)",
         "",
