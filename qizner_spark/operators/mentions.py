@@ -89,6 +89,7 @@ def detect_mentions(
     prefix_context_len: int = 0,
     threshold: float = 0.5,
     flat: bool = True,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """docs -> long-form mentions DataFrame.
 
@@ -100,7 +101,14 @@ def detect_mentions(
 
     ``flat=True`` applies the probability-greedy flatten (L10) the
     reference uses for flat corpora (train_ner.py:841,863,945).
+
+    ``passthrough_cols`` are carried from the input row onto every
+    emitted mention (provenance: warc_ts, domain, ...). Carrying them
+    through the Arrow pass costs a few copied values per row and
+    REMOVES a downstream shuffle join back to the pages table — at
+    10^12 docs that join is a full re-shuffle of the mention table.
     """
+    passthrough_cols = list(passthrough_cols or [])
     cols = [key_col, text_col]
     if lang_col:
         cols.append(lang_col)
@@ -108,13 +116,19 @@ def detect_mentions(
         cols.append(tokens_col)
     if gold_col:
         cols.append(gold_col)
+    cols += [c for c in passthrough_cols if c not in cols]
     narrow = docs.select(*cols)
+    in_types = {f.name: f.dataType for f in narrow.schema.fields}
+    out_schema = StructType(
+        MENTIONS_SCHEMA.fields
+        + [StructField(c, in_types[c]) for c in passthrough_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = _get_scorer(scorer_factory)
         dense = hasattr(scorer, "score_matrix")
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for row in pdf.itertuples(index=False):
                 rowd = row._asdict()
                 text = rowd[text_col]
@@ -158,6 +172,14 @@ def detect_mentions(
                     out["end"].append(int(e))
                     out["mention"].append(deli.join(tokens[s:e]))
                     out["prob"].append(float(p))
-            yield pd.DataFrame(out)
+                    for c in passthrough_cols:
+                        out[c].append(rowd[c])
+            frame = pd.DataFrame({k: v for k, v in out.items()
+                                  if k not in passthrough_cols})
+            for c in passthrough_cols:
+                # keep the INPUT dtype: an all-empty batch otherwise
+                # infers float64 and Arrow refuses double->timestamp
+                frame[c] = pd.Series(out[c], dtype=pdf[c].dtype)
+            yield frame
 
-    return narrow.mapInPandas(run, schema=MENTIONS_SCHEMA)
+    return narrow.mapInPandas(run, schema=out_schema)

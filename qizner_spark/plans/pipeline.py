@@ -104,21 +104,22 @@ def build_kg(
 
     docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
 
+    # provenance (warc_ts) rides THROUGH the Arrow pass on every
+    # mention row instead of a join back to the pages table: a
+    # passthrough value costs bytes in the mention rows; the join it
+    # replaces is a full mention-table shuffle at 10^12 docs.
     mentions = detect_mentions(
         docs, scorer_factory, key_col="url", text_col="text", lang_col="lang",
         max_seg_len=max_seg_len, flat=flat, threshold=decode_threshold,
+        passthrough_cols=["warc_ts"],
     ).withColumnRenamed("doc_key", "url")
     if persist_intermediates:
         from pyspark import StorageLevel
 
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # provenance (warc_ts) joins back on url — url-partitioned on both
-    # sides; broadcast NOT used (both sides big at scale), AQE decides.
-    mentions_prov = mentions.join(docs.select("url", "warc_ts"), "url")
-
     alias = build_alias_dictionary(mentions)
-    linked = link_mentions(mentions_prov, alias)
+    linked = link_mentions(mentions, alias)
 
     edges = comention_edges(linked)
     components = assign_components(

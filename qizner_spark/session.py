@@ -28,14 +28,26 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with engine defaults applied."""
-    master = master or os.environ.get("QIZNER_SPARK_MASTER", "local[*]")
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` resolution: explicit arg > QIZNER_SPARK_MASTER env >
+    whatever the launcher set (spark-submit's cluster manager) >
+    local[*]. Under spark-submit, leave master unset so --master /
+    --num-executors apply — hard-coding local[*] here would silently
+    turn a cluster job into a single-JVM one.
+    """
+    master = master or os.environ.get("QIZNER_SPARK_MASTER")
+    if not master and "spark.master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", "") \
+            and not os.environ.get("SPARK_ENV_LOADED"):
+        master = "local[*]"  # plain `python x.py` needs SOME master
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("QIZNER_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # pin the RPC endpoints: sandboxed hosts often have blackhole
         # DNS, and any resolution attempt stalls jobs for 60-120 s
         # intermittently (measured; local mode never needs real DNS)

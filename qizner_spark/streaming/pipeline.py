@@ -56,3 +56,56 @@ def stream_detect_mentions(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_entity_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    scorer_factory=None,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """STATEFUL streaming: per-entity-type mention counts in
+    event-time (warc_ts) windows with a late-data watermark.
+
+    pages stream -> detection (stateless Arrow UDF, event time rides
+    through as a passthrough column — no stream-stream join) ->
+    watermark + windowed count. Append mode emits a window only after
+    the watermark passes it — the standard late-data-safe pattern for
+    continuously-landing crawl data.
+    """
+    from pyspark.sql import functions as F
+
+    from qizner_spark.operators.mentions import detect_mentions
+    from qizner_spark.plans.pipeline import default_scorer_factory, extract_pages_text
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    docs = extract_pages_text(pages, validate=False)
+    timed = detect_mentions(
+        docs,
+        scorer_factory or default_scorer_factory,
+        key_col="url", text_col="text", lang_col="lang",
+        passthrough_cols=["warc_ts"],
+    )
+    counts = (
+        timed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration), "ent_type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "ent_type", "n_mentions",
+        )
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -38,7 +38,7 @@ def main() -> None:
     mode = os.environ.get("QIZNER_SCALING_MODE", "model")
     if mode == "model":
         n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "12000"))
-        words = 500
+        words = int(os.environ.get("QIZNER_SCALING_WORDS", "500"))
         # threshold tuned to a realistic ~5-15 mentions/doc (webtext NER
         # density); 0.93 yields ~33/doc which quadratically inflates the
         # co-mention pair volume beyond anything real pages produce
@@ -64,7 +64,13 @@ def main() -> None:
     from qizner_spark.plans.pipeline import build_kg
     from qizner_spark.sources.pages import synthetic_pages
 
-    pages = synthetic_pages(spark, n_pages, words_per_page=words)
+    # Fine-grained, LEVEL-INDEPENDENT input partitioning: spark.range
+    # defaults to one partition per core, i.e. one fat task per worker
+    # and a straggler-gated stage; 64 fixed partitions give every
+    # level the same balanced task graph (at 100 TB the input splits
+    # vastly outnumber cores, so this mirrors production shape).
+    n_input_parts = int(os.environ.get("QIZNER_INPUT_PARTITIONS", "64"))
+    pages = synthetic_pages(spark, n_pages, words_per_page=words).repartition(n_input_parts)
     # warmup: JVM + python workers + codegen on a small slice
     build_kg(spark, pages.limit(64), **kw)["triples"].write.format("noop").mode("overwrite").save()
 

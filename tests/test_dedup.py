@@ -103,6 +103,23 @@ class TestSimhash:
         b = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
         assert a == b
 
+    def test_chunk_blocking_is_lossless(self, spark, docs):
+        """max_hamming+1 chunk blocking must equal the ALL-PAIRS
+        Hamming filter (pigeonhole guarantee) — the old fixed 4x16
+        scheme silently missed distances 4+."""
+        from itertools import combinations
+
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        for h in (3, 10, 20):
+            want = {
+                (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                for a, b in combinations(sorted(sigs), 2)
+            }
+            want = {k: v for k, v in want.items() if v <= h}
+            got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                   simhash_near_pairs(simhash_signatures(docs), max_hamming=h).collect()}
+            assert got == want, f"max_hamming={h}"
+
 
 class TestEmbeddingNearDup:
     def test_pairs(self, spark):

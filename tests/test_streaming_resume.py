@@ -7,7 +7,10 @@ from qizner_spark.plans.checkpoint import pending_only, processed_keys, run_resu
 from qizner_spark.plans.pipeline import default_scorer_factory, extract_pages_text
 from qizner_spark.operators.mentions import detect_mentions
 from qizner_spark.sources.pages import pages_from_documents
-from qizner_spark.streaming.pipeline import stream_detect_mentions
+from qizner_spark.streaming.pipeline import (
+    stream_detect_mentions,
+    stream_windowed_entity_counts,
+)
 
 
 class TestStreaming:
@@ -27,6 +30,39 @@ class TestStreaming:
         cols = ["doc_key", "ent_type", "start", "end"]
         assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
         assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+
+    def test_windowed_counts_match_batch(self, spark, sf_dir, tmp_path):
+        """Stateful streaming (watermark + event-time window) must
+        aggree with the equivalent batch aggregation. availableNow
+        processes everything, so every window closes."""
+        pages = pages_from_documents(spark, sf_dir)
+        in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        pages.write.parquet(in_dir)
+        q = stream_windowed_entity_counts(spark, in_dir, out_dir, ckpt,
+                                          window_duration="1 hour", watermark="0 seconds")
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(out_dir)
+
+        batch_m = detect_mentions(
+            extract_pages_text(pages, validate=False), default_scorer_factory,
+            key_col="url", text_col="text", lang_col="lang",
+            passthrough_cols=["warc_ts"],
+        )
+        max_ts = pages.agg(F.max("warc_ts")).first()[0]
+        want = (
+            batch_m.groupBy(F.window("warc_ts", "1 hour"), "ent_type")
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"), "ent_type", "n_mentions")
+        )
+        got = streamed.select("window_start", "ent_type", "n_mentions")
+        assert got.exceptAll(want.drop("window_end")).count() == 0
+        # append mode can only emit windows the final watermark passed;
+        # the LAST open window (end > max event time) legitimately
+        # stays unemitted — everything else must match the batch agg
+        missing = want.join(got, ["window_start", "ent_type", "n_mentions"], "left_anti")
+        assert missing.where(F.col("window_end") <= F.lit(max_ts)).count() == 0
+        assert streamed.count() > 0
 
     def test_stream_restart_is_exactly_once(self, spark, sf_dir, tmp_path):
         pages = pages_from_documents(spark, sf_dir)
