@@ -58,6 +58,100 @@ def stream_detect_mentions(
     return writer.start()
 
 
+def stream_sessionize_events(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+    available_now: bool = True,
+):
+    """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
+    per-user sessionization at a ``gap_seconds`` inactivity gap — the
+    streaming twin of the batch ``events_sessions`` query (which uses
+    a lag window; no built-in streaming operator expresses 'gap-based
+    session with running totals', so this is the documented
+    applyInPandasWithState use case).
+
+    State per user: (session_start, last_ts, n_events, total_value)
+    as epoch seconds. A session row is emitted when a later event
+    arrives past the gap, or when the event-time timeout fires
+    (watermark passed last_ts + gap). The final open session per user
+    emits only after the watermark passes it — append-mode semantics,
+    same caveat as windowed aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField as SF, StructType as ST,
+    )
+
+    out_schema = ST([
+        SF("user_id", LongType()), SF("session_start", LongType()),
+        SF("session_end", LongType()), SF("n_events", LongType()),
+        SF("total_value", DoubleType()),
+    ])
+    state_schema = ST([
+        SF("start", LongType()), SF("last", LongType()),
+        SF("n", LongType()), SF("total", DoubleType()),
+    ])
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, tot = state.get
+                sessions.append((user, s0, last, n, tot))
+                state.remove()
+        else:
+            pdf = pd.concat(list(pdfs)).sort_values("ts")
+            if state.exists:
+                s0, last, n, tot = state.get
+            else:
+                s0 = last = None
+                n, tot = 0, 0.0
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                t = int(pd.Timestamp(ts).timestamp())
+                if s0 is None:
+                    s0, last, n, tot = t, t, 1, float(val)
+                elif t - last > gap_seconds:
+                    sessions.append((user, s0, last, n, tot))
+                    s0, last, n, tot = t, t, 1, float(val)
+                else:
+                    last, n, tot = max(last, t), n + 1, tot + float(val)
+            state.update((s0, last, n, tot))
+            # close the session once event time passes last + gap
+            state.setTimeoutTimestamp((last + gap_seconds + 1) * 1000)
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_entity_counts(
     spark: SparkSession,
     input_dir: str,

@@ -97,7 +97,7 @@ def main() -> None:
         "## Headline — flagship KG pipeline scaling (compute-dominated run)",
         "",
         f"Flagship end-to-end DAG over {n_pages} deterministic synthetic pages "
-        "of 500 words each, scored by the dense HashBiaffine span model "
+        f"of {flag_lo.get('words_per_page', 500)} words each, scored by the dense HashBiaffine span model "
         "(real O(n^2 x E) numpy per document — the compute shape of the "
         "production transformer scorer, which dominates wall clock at "
         "10^12-doc scale). Seeded generator, identical input at both levels; "

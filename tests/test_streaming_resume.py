@@ -9,6 +9,7 @@ from qizner_spark.operators.mentions import detect_mentions
 from qizner_spark.sources.pages import pages_from_documents
 from qizner_spark.streaming.pipeline import (
     stream_detect_mentions,
+    stream_sessionize_events,
     stream_windowed_entity_counts,
 )
 
@@ -63,6 +64,48 @@ class TestStreaming:
         missing = want.join(got, ["window_start", "ent_type", "n_mentions"], "left_anti")
         assert missing.where(F.col("window_end") <= F.lit(max_ts)).count() == 0
         assert streamed.count() > 0
+
+    def test_sessionize_stateful_matches_batch(self, spark, sf_dir, tmp_path):
+        """applyInPandasWithState sessionization must emit exactly the
+        CLOSED sessions the batch gap-sessionizer computes (the final
+        open session per user stays in state until the watermark
+        passes it — append semantics)."""
+        import pandas as pd
+
+        ev = f"{sf_dir}/events.parquet"
+        in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+        spark.read.parquet(ev).write.parquet(in_dir)
+        q = stream_sessionize_events(spark, in_dir, out_dir, ckpt, gap_seconds=1800)
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], round(r["total_value"], 6))
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+        df = pd.read_parquet(ev).sort_values(["user_id", "ts"])
+        max_ts = int(pd.Timestamp(df["ts"].max()).timestamp())  # final watermark
+        want = set()
+        for uid, g in df.groupby("user_id"):
+            s0 = last = None
+            n, tot = 0, 0.0
+            closed = []
+            for ts, val in zip(g["ts"], g["value"]):
+                t = int(pd.Timestamp(ts).timestamp())
+                if s0 is None:
+                    s0, last, n, tot = t, t, 1, float(val)
+                elif t - last > 1800:
+                    closed.append((int(uid), s0, last, n, round(tot, 6)))
+                    s0, last, n, tot = t, t, 1, float(val)
+                else:
+                    last, n, tot = t, n + 1, tot + float(val)
+            # the final session ALSO emits if the global watermark
+            # passed its event-time timeout (last + gap + 1)
+            if s0 is not None and last + 1801 <= max_ts:
+                closed.append((int(uid), s0, last, n, round(tot, 6)))
+            want |= set(closed)
+        assert got == want
+        assert len(got) > 0
 
     def test_stream_restart_is_exactly_once(self, spark, sf_dir, tmp_path):
         pages = pages_from_documents(spark, sf_dir)
