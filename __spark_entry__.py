@@ -269,6 +269,82 @@ def _eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eval_tables(spark: SparkSession, sf_dir: str):
+    """Deterministic gold/pred/pred2 mention tables for the eval-family
+    queries (same perturbation scheme as _eval_prf; pred2 is a second
+    'run' for E4; pred rotates types on sel%11 rows so E6's confusion
+    matrix has off-diagonal mass)."""
+    m = _ner_mentions(spark, sf_dir).withColumn("sel", (F.col("doc_id") * 31 + F.col("pos")) % 100)
+    base = m.select(
+        F.col("doc_id").cast("string").alias("doc_key"), "ent_type",
+        F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"), "sel",
+    )
+    gold = base.where(F.col("sel") % 5 != 0).drop("sel")
+    rotate = (
+        F.when(F.col("ent_type") == "OP", "EXEC")
+        .when(F.col("ent_type") == "EXEC", "STRUCT")
+        .when(F.col("ent_type") == "STRUCT", "ACTOR")
+        .otherwise("OP")
+    )
+    pred = base.where(F.col("sel") % 7 != 0).withColumn(
+        "ent_type", F.when(F.col("sel") % 11 == 0, rotate).otherwise(F.col("ent_type"))
+    ).drop("sel")
+    # run1 (pred2) = gold minus ~1% of rows: most docs replay gold
+    # exactly, so E4's "run1 perfect, run2 not" set is non-trivial
+    pred2 = base.where((F.col("sel") % 5 != 0) & (F.col("sel") != 97)).drop("sel")
+    return gold, pred, pred2
+
+
+_EVAL_TABLES_SQL = """
+            base AS (SELECT CAST(t.doc_id AS VARCHAR) AS doc_key, gaz.ent_type,
+                            t.pos AS start, t.pos + 1 AS "end",
+                            (t.doc_id * 31 + t.pos) %% 100 AS sel
+                     FROM toks t JOIN %s USING (mention)),
+            gold AS (SELECT doc_key, ent_type, start, "end" FROM base WHERE sel %% 5 != 0),
+            pred AS (SELECT doc_key,
+                            CASE WHEN sel %% 11 = 0 THEN
+                                 CASE ent_type WHEN 'OP' THEN 'EXEC'
+                                               WHEN 'EXEC' THEN 'STRUCT'
+                                               WHEN 'STRUCT' THEN 'ACTOR'
+                                               ELSE 'OP' END
+                                 ELSE ent_type END AS ent_type,
+                            start, "end"
+                     FROM base WHERE sel %% 7 != 0),
+            pred2 AS (SELECT doc_key, ent_type, start, "end" FROM base
+                      WHERE sel %% 5 != 0 AND sel != 97)
+"""
+
+
+def _eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 confusion matrix over boundary-exact matches."""
+    from qizner_spark.operators.evalops import confusion_matrix_df
+
+    gold, pred, _ = _eval_tables(spark, sf_dir)
+    return confusion_matrix_df(pred, gold)
+
+
+def _eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 set-op diagnostics: one labeled count per set operator."""
+    from functools import reduce
+
+    from qizner_spark.operators.evalops import mention_set_ops
+
+    gold, pred, _ = _eval_tables(spark, sf_dir)
+    d = mention_set_ops(pred, gold)
+    labeled = [df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(k).alias("set_op"), "n") for k, df in sorted(d.items())]
+    return reduce(lambda a, b: a.unionByName(b), labeled)
+
+
+def _eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 run-vs-run: docs where run1 (pred2) matches gold exactly but
+    run2 (pred) does not."""
+    from qizner_spark.operators.evalops import compare_runs_df
+
+    gold, pred, pred2 = _eval_tables(spark, sf_dir)
+    return compare_runs_df(pred2, pred, gold)
+
+
 def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _ner_mentions(spark, sf_dir).select("doc_id", "mention").distinct()
     a, b = m.alias("a"), m.alias("b")
@@ -533,8 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_convert": _type_convert,
         "comention_edges": _comention_edges,
         "connected_components": _connected_components,
-        # evaluation (E1)
+        # evaluation (E1, E4, E6, E7)
         "eval_prf": _eval_prf,
+        "eval_confusion": _eval_confusion,
+        "eval_set_ops": _eval_set_ops,
+        "eval_compare": _eval_compare,
         # dedup family (L13/D7 + fuzzy)
         "exact_dedup": _exact_dedup,
         "combine_by_text": _combine_by_text,
@@ -623,6 +702,51 @@ def oracle_sql() -> dict[str, str]:
                    round((2.0 * (tp / (tp + fp + 1e-10)) * (tp / (tp + fn + 1e-10)))
                          / ((tp / (tp + fp + 1e-10)) + (tp / (tp + fn + 1e-10)) + 1e-10), 6) AS f1
             FROM c
+        """,
+        "eval_confusion": f"""
+            WITH toks AS ({toks}),
+            {_EVAL_TABLES_SQL % gaz}
+            SELECT coalesce(g.ent_type, 'O') AS gold_type,
+                   coalesce(p.ent_type, 'O') AS pred_type,
+                   count(*) AS n
+            FROM pred p FULL OUTER JOIN gold g
+            ON p.doc_key = g.doc_key AND p.start = g.start AND p."end" = g."end"
+            GROUP BY 1, 2
+        """,
+        "eval_set_ops": f"""
+            WITH toks AS ({toks}),
+            {_EVAL_TABLES_SQL % gaz}
+            SELECT 'a_only' AS set_op, count(*) AS n
+            FROM (SELECT * FROM pred EXCEPT SELECT * FROM gold)
+            UNION ALL SELECT 'b_only', count(*)
+            FROM (SELECT * FROM gold EXCEPT SELECT * FROM pred)
+            UNION ALL SELECT 'intersect', count(*)
+            FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold)
+            UNION ALL SELECT 'union', count(*)
+            FROM (SELECT * FROM pred UNION SELECT * FROM gold)
+        """,
+        "eval_compare": f"""
+            WITH toks AS ({toks}),
+            {_EVAL_TABLES_SQL % gaz},
+            f1 AS (SELECT coalesce(p.doc_key, g.doc_key) AS doc_key,
+                          CASE WHEN p.doc_key IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+                          CASE WHEN g.doc_key IS NOT NULL THEN 1 ELSE 0 END AS in_gold
+                   FROM pred2 p FULL OUTER JOIN gold g
+                   ON p.doc_key = g.doc_key AND p.ent_type = g.ent_type
+                      AND p.start = g.start AND p."end" = g."end"),
+            f2 AS (SELECT coalesce(p.doc_key, g.doc_key) AS doc_key,
+                          CASE WHEN p.doc_key IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+                          CASE WHEN g.doc_key IS NOT NULL THEN 1 ELSE 0 END AS in_gold
+                   FROM pred p FULL OUTER JOIN gold g
+                   ON p.doc_key = g.doc_key AND p.ent_type = g.ent_type
+                      AND p.start = g.start AND p."end" = g."end"),
+            ok1 AS (SELECT doc_key, sum(CASE WHEN in_pred != in_gold THEN 1 ELSE 0 END) = 0 AS ok
+                    FROM f1 GROUP BY doc_key),
+            ok2 AS (SELECT doc_key, sum(CASE WHEN in_pred != in_gold THEN 1 ELSE 0 END) = 0 AS ok
+                    FROM f2 GROUP BY doc_key)
+            SELECT ok1.doc_key
+            FROM ok1 LEFT JOIN ok2 ON ok1.doc_key = ok2.doc_key
+            WHERE ok1.ok AND NOT coalesce(ok2.ok, FALSE)
         """,
         "comention_edges": _COMENTION_SQL,
         "connected_components": f"""
