@@ -32,19 +32,37 @@ from pyspark.sql.types import ArrayType, LongType, StringType, StructField, Stru
 MERSENNE = (1 << 61) - 1
 
 
-def _md5_32(s: str) -> int:
+_MD5_CACHE_MAX = 1_000_000
+
+
+def _md5_32(s: str, _cache: dict = {}) -> int:
     """32-bit integer from the md5 hex prefix — the base hash for
     shingles/tokens. Chosen over crc32 because DuckDB can compute the
     IDENTICAL value (CAST('0x' || substr(md5(s),1,8) AS BIGINT)), so
-    every downstream signature is oracle-checkable."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    every downstream signature is oracle-checkable.
+
+    Worker-local memo: shingle/token frequencies are Zipfian in web
+    text, so the md5 of hot surfaces is computed once per worker (the
+    cache is cleared past _MD5_CACHE_MAX entries — bounded memory)."""
+    v = _cache.get(s)
+    if v is None:
+        if len(_cache) >= _MD5_CACHE_MAX:
+            _cache.clear()
+        v = _cache[s] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    return v
 
 
-def _md5_64_signed(s: str) -> int:
+def _md5_64_signed(s: str, _cache: dict = {}) -> int:
     """Signed 64-bit integer from the md5 hex prefix (two's
-    complement) — DuckDB: hi/lo 32-bit halves recombined."""
-    v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    complement) — DuckDB: hi/lo 32-bit halves recombined. Memoized
+    like :func:`_md5_32`."""
+    v = _cache.get(s)
+    if v is None:
+        if len(_cache) >= _MD5_CACHE_MAX:
+            _cache.clear()
+        u = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+        v = _cache[s] = u - (1 << 64) if u >= (1 << 63) else u
+    return v
 
 
 def normalized_text(col: str = "text") -> F.Column:
