@@ -32,14 +32,27 @@ def negative_sample(
     df: DataFrame, is_positive: F.Column, ratio: float = 1.0, seed: int = 42
 ) -> DataFrame:
     """P1: keep ALL positives + ~ratio x |positives| random negatives
-    (sampled fraction computed from exact counts, like the reference's
-    random.sample of the negative pool, datautils.py:2425-2433)."""
+    (fraction from exact counts, like the reference's random.sample of
+    the negative pool, datautils.py:2425-2433).
+
+    Fully LAZY plan: the class counts are a 1-row aggregate broadcast
+    back via crossJoin instead of a driver-side collect, so the
+    operator composes into larger plans without forcing an action
+    (the scan runs twice — counts + filter — exactly like the eager
+    version, but scheduling stays with Catalyst)."""
     tagged = df.withColumn("_pos", is_positive.cast("int"))
-    counts = {r["_pos"]: r["n"] for r in tagged.groupBy("_pos").agg(F.count(F.lit(1)).alias("n")).collect()}
-    n_pos, n_neg = counts.get(1, 0), counts.get(0, 0)
-    if n_neg == 0 or n_pos == 0:
-        return tagged.drop("_pos")
-    frac = min(ratio * n_pos / n_neg, 1.0)
-    pos = tagged.where(F.col("_pos") == 1)
-    neg = tagged.where(F.col("_pos") == 0).sample(fraction=frac, seed=seed)
-    return pos.unionByName(neg).drop("_pos")
+    counts = tagged.groupBy().agg(
+        F.sum("_pos").alias("_n_pos"),
+        F.sum(1 - F.col("_pos")).alias("_n_neg"),
+    )
+    frac = F.least(F.lit(ratio) * F.col("_n_pos") / F.col("_n_neg"), F.lit(1.0))
+    keep = (
+        (F.col("_pos") == 1)
+        | (F.col("_n_neg") == 0) | (F.col("_n_pos") == 0)  # degenerate: keep all
+        | (F.rand(seed) < frac)
+    )
+    return (
+        tagged.crossJoin(F.broadcast(counts))
+        .where(keep)
+        .drop("_pos", "_n_pos", "_n_neg")
+    )
