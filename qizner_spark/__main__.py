@@ -3,11 +3,11 @@
 Cluster usage (north_rule: multi-executor, --py-files):
 
     zip -r qizner_spark.zip qizner_spark
-    spark-submit --py-files qizner_spark.zip \
-        --num-executors 250 --executor-cores 4 \
-        -m qizner_spark  # or: qizner_spark/__main__.py
-        --input  s3://bucket/pages_iceberg \
-        --sink   s3://bucket/triples \
+    spark-submit --py-files qizner_spark.zip \\
+        --num-executors 250 --executor-cores 4 \\
+        qizner_spark/__main__.py \\
+        --input s3://bucket/pages_iceberg \\
+        --sink s3://bucket/triples \\
         --resume --salt-buckets 16
 
 Local sandbox smoke:
@@ -43,6 +43,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--decode-threshold", type=float, default=0.5)
     p.add_argument("--max-seg-len", type=int, default=512)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--salt-buckets", type=int, default=None,
+                   help="hub-key salt buckets for the connected-components rounds")
     return p.parse_args(argv)
 
 
@@ -55,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     from qizner_spark.plans.checkpoint import run_resumable
     from qizner_spark.sources.pages import synthetic_pages
 
-    if args.synthetic_pages:
+    if args.synthetic_pages is not None:
         pages = synthetic_pages(spark, args.synthetic_pages)
     else:
         pages = spark.read.parquet(args.input)
@@ -65,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics_path=args.metrics or f"{args.sink}_metrics",
         decode_threshold=args.decode_threshold,
         max_seg_len=args.max_seg_len,
+        salt_buckets=args.salt_buckets,
     )
     print(json.dumps(metrics), flush=True)
     spark.stop()

@@ -117,9 +117,13 @@ class HashBiaffineScorer:
             out[i] = r.randn(self.dim).astype(np.float32)
         return out
 
-    def heads(self, tokens: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
-        """per-entity start/end head vectors: ([e,n,h], [e,n,h])."""
-        x = self.embed(tokens)  # [n, d]
+    def heads(self, tokens: Sequence[str],
+              x: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """per-entity start/end head vectors: ([e,n,h], [e,n,h]).
+        Pass a precomputed ``x`` to avoid re-running embed (the
+        per-token RandomState construction dominates)."""
+        if x is None:
+            x = self.embed(tokens)  # [n, d]
         hs = np.einsum("nd,edh->enh", x, self.w_start)
         he = np.einsum("nd,edh->enh", x, self.w_end)
         return hs, he
@@ -243,7 +247,9 @@ class PrunedBiaffineScorer:
         if starts.size == 0:
             return []
         # score ONLY survivor spans: gather start/end head vectors
-        hs, he = self.dense.heads(tokens)
+        # (reuse the embedding computed for link scores — embed is
+        # the dominant cost and must not run twice per segment)
+        hs, he = self.dense.heads(tokens, x=x)
         logits = self.dense.interaction.pairs(hs[:, starts, :], he[:, ends, :])
         probs = 1.0 / (1.0 + np.exp(-logits))
         span_idx, ent_idx = np.where(probs >= self.decode_threshold)

@@ -164,9 +164,14 @@ def _split_once(seg: Segment, max_size: int, prefix_context_len: int) -> tuple[S
             doc_offset=seg.doc_offset,
         )
 
-        rear_n_toks = len(seg.tokens) - n_prev_toks + prefix_context_len
+        # the context prefix can only reach back over words that EXIST
+        # before the cut: clamp, else rear_word_start goes negative
+        # (never found -> wrong drop) and doc_offset <= 0 stalls the
+        # split loop re-emitting the same head forever
+        pcl = min(prefix_context_len, word_cut)
+        rear_n_toks = len(seg.tokens) - n_prev_toks + pcl
         rear_tokens, rear_mentions = truncate(seg.tokens, seg.mentions, rear_n_toks, "head")
-        rear_word_start = word_cut - prefix_context_len
+        rear_word_start = word_cut - pcl
         drop = 0
         for i in range(cut, -1, -1):
             if seg.ori_indexes[i] == rear_word_start:
@@ -177,21 +182,24 @@ def _split_once(seg: Segment, max_size: int, prefix_context_len: int) -> tuple[S
             tokens=rear_tokens,
             mentions=rear_mentions,
             sub_tokens=seg.sub_tokens[n_drop_subs:],
-            ori_indexes=[i - (n_prev_toks - prefix_context_len) for i in seg.ori_indexes[n_drop_subs:]],
-            doc_offset=seg.doc_offset + n_prev_toks - prefix_context_len,
+            ori_indexes=[i - (n_prev_toks - pcl) for i in seg.ori_indexes[n_drop_subs:]],
+            doc_offset=seg.doc_offset + n_prev_toks - pcl,
         )
         return prev, rear
 
     if len(seg.tokens) <= max_size:
         return seg, None
+    # clamp: context >= max_size would make the rear start at or
+    # before the head start (no progress)
+    pcl = min(prefix_context_len, max_size - 1)
     prev_tokens, prev_mentions = truncate(seg.tokens, seg.mentions, max_size, "tail")
     prev = Segment(tokens=prev_tokens, mentions=prev_mentions, doc_offset=seg.doc_offset)
-    rear_n = len(seg.tokens) - max_size + prefix_context_len
+    rear_n = len(seg.tokens) - max_size + pcl
     rear_tokens, rear_mentions = truncate(seg.tokens, seg.mentions, rear_n, "head")
     rear = Segment(
         tokens=rear_tokens,
         mentions=rear_mentions,
-        doc_offset=seg.doc_offset + max_size - prefix_context_len,
+        doc_offset=seg.doc_offset + max_size - pcl,
     )
     return prev, rear
 

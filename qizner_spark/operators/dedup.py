@@ -35,34 +35,32 @@ MERSENNE = (1 << 61) - 1
 _MD5_CACHE_MAX = 1_000_000
 
 
-def _md5_32(s: str, _cache: dict = {}) -> int:
-    """32-bit integer from the md5 hex prefix — the base hash for
-    shingles/tokens. Chosen over crc32 because DuckDB can compute the
-    IDENTICAL value (CAST('0x' || substr(md5(s),1,8) AS BIGINT)), so
+def _md5_int(s: str, n_hex: int, _cache: dict = {}) -> int:
+    """Integer from the first ``n_hex`` md5 hex chars — the base hash
+    for shingles/tokens. Chosen over crc32 because DuckDB computes the
+    IDENTICAL value (CAST('0x' || substr(md5(s),1,n) AS BIGINT)), so
     every downstream signature is oracle-checkable.
 
     Worker-local memo: shingle/token frequencies are Zipfian in web
-    text, so the md5 of hot surfaces is computed once per worker (the
-    cache is cleared past _MD5_CACHE_MAX entries — bounded memory)."""
-    v = _cache.get(s)
+    text, so hot surfaces hash once per worker (cache cleared past
+    _MD5_CACHE_MAX entries — bounded memory)."""
+    key = (n_hex, s)
+    v = _cache.get(key)
     if v is None:
         if len(_cache) >= _MD5_CACHE_MAX:
             _cache.clear()
-        v = _cache[s] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+        v = _cache[key] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:n_hex], 16)
     return v
 
 
-def _md5_64_signed(s: str, _cache: dict = {}) -> int:
-    """Signed 64-bit integer from the md5 hex prefix (two's
-    complement) — DuckDB: hi/lo 32-bit halves recombined. Memoized
-    like :func:`_md5_32`."""
-    v = _cache.get(s)
-    if v is None:
-        if len(_cache) >= _MD5_CACHE_MAX:
-            _cache.clear()
-        u = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
-        v = _cache[s] = u - (1 << 64) if u >= (1 << 63) else u
-    return v
+def _md5_32(s: str) -> int:
+    return _md5_int(s, 8)
+
+
+def _md5_64_signed(s: str) -> int:
+    """Signed 64-bit (two's complement) — DuckDB: hi/lo halves."""
+    u = _md5_int(s, 16)
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def normalized_text(col: str = "text") -> F.Column:
@@ -328,19 +326,14 @@ def embedding_near_dup_pairs(
     fewer planes / more probes.
 
     Pass ``dim`` to keep the plan lazy (else a first() infers it)."""
-    from qizner_spark.operators.similarity import hyperplane_signature
+    from qizner_spark.operators.similarity import hyperplane_signature, with_norm
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     v = hyperplane_signature(
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-        ).withColumn(
-            "norm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
-        ),
+        with_norm(emb.select(F.col(id_col).alias("id"), vec_col), vec_col),
         dim, n_planes, "v", seed,
-    )
+    ).select("id", "v", "norm", "bucket")
     # each row also probes its 1-bit-flip buckets; pair (a, b) with
     # hamming(bucket_a, bucket_b) <= 1 meets on b's true bucket
     probes = [F.col("bucket")] + [

@@ -155,10 +155,13 @@ def connected_components(
     return members.union(roots).groupBy("node").agg(F.min("component").alias("component"))
 
 
-def assign_components(nodes: DataFrame, edges: DataFrame, node_col: str = "node") -> DataFrame:
+def assign_components(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "node",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
     """All nodes -> components; isolated nodes become their own
     component."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, salt_buckets=salt_buckets)
     return (
         nodes.select(F.col(node_col).cast("string").alias("node"))
         .distinct()

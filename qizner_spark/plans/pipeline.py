@@ -91,6 +91,7 @@ def build_kg(
     flat: bool = True,
     decode_threshold: float = 0.5,
     persist_intermediates: bool = True,
+    salt_buckets: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every intermediate plus ``triples``.
 
@@ -121,9 +122,12 @@ def build_kg(
     alias = build_alias_dictionary(mentions)
     linked = link_mentions(mentions, alias)
 
+    from qizner_spark.operators.graph import DEFAULT_SALT_BUCKETS
+
     edges = comention_edges(linked)
     components = assign_components(
-        linked.select(F.col("entity_id").alias("node")), edges.select("src", "dst")
+        linked.select(F.col("entity_id").alias("node")), edges.select("src", "dst"),
+        salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
     ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
 
     canon = linked.join(F.broadcast(components), "entity_id")

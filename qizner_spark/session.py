@@ -37,8 +37,11 @@ def get_spark(
     turn a cluster job into a single-JVM one.
     """
     master = master or os.environ.get("QIZNER_SPARK_MASTER")
-    if not master and "spark.master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", "") \
-            and not os.environ.get("SPARK_ENV_LOADED"):
+    launcher_has_master = (
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or bool(os.environ.get("SPARK_ENV_LOADED"))
+    )
+    if not master and not launcher_has_master:
         master = "local[*]"  # plain `python x.py` needs SOME master
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("QIZNER_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
@@ -46,13 +49,18 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # pin the RPC endpoints IN LOCAL MODE ONLY: sandboxed hosts
+        # often have blackhole DNS and any resolution attempt stalls
+        # jobs 60-120 s (measured). On a real cluster the driver host
+        # must be reachable by executors — pinning loopback there
+        # would break executor registration.
+        builder = (
+            builder.config("spark.driver.host", "127.0.0.1")
+            .config("spark.driver.bindAddress", "127.0.0.1")
+        )
     builder = (
         builder
-        # pin the RPC endpoints: sandboxed hosts often have blackhole
-        # DNS, and any resolution attempt stalls jobs for 60-120 s
-        # intermittently (measured; local mode never needs real DNS)
-        .config("spark.driver.host", "127.0.0.1")
-        .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -80,6 +80,16 @@ def stream_sessionize_events(
     (watermark passed last_ts + gap). The final open session per user
     emits only after the watermark passes it — append-mode semantics,
     same caveat as windowed aggregation.
+
+    Watermark choice matters when the backlog spans MULTIPLE
+    micro-batches (availableNow splits at maxFilesPerTrigger): file
+    order is not event-time order, and Spark drops rows older than
+    the watermark BEFORE they reach this function. The default
+    '0 seconds' is only exact for single-batch runs / ordered feeds;
+    set the watermark to the real out-of-orderness bound (e.g.
+    '2 hours') for multi-batch backlogs. In-watermark events that
+    still arrive older than the open session's start are absorbed
+    (start is min-updated) rather than silently mis-attributed.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -121,6 +131,9 @@ def stream_sessionize_events(
                     sessions.append((user, s0, last, n, tot))
                     s0, last, n, tot = t, t, 1, float(val)
                 else:
+                    # cross-batch stragglers may be older than the
+                    # open session's start — absorb, don't misdate
+                    s0 = min(s0, t)
                     last, n, tot = max(last, t), n + 1, tot + float(val)
             state.update((s0, last, n, tot))
             # close the session once event time passes last + gap

@@ -96,8 +96,12 @@ def main() -> None:
                        "BENCH", "GOLD_REPLAY.md")
     with open(out, "w") as f:
         f.write("\n".join(md))
-    ok = all(v["precision"] >= 0.95 and v["recall"] >= 0.95 for v in results.values())
-    print(json.dumps({"criterion_met": ok, "corpora": results}))
+    # bool(results): an empty run (corpora unavailable) must NOT
+    # report a vacuously-green gate
+    ok = bool(results) and all(
+        v["precision"] >= 0.95 and v["recall"] >= 0.95 for v in results.values()
+    )
+    print(json.dumps({"criterion_met": ok, "n_corpora": len(results), "corpora": results}))
 
 
 if __name__ == "__main__":
