@@ -170,6 +170,12 @@ def _split_once(seg: Segment, max_size: int, prefix_context_len: int) -> tuple[S
         # split loop re-emitting the same head forever
         pcl = min(prefix_context_len, word_cut)
         rear_n_toks = len(seg.tokens) - n_prev_toks + pcl
+        if rear_n_toks == 0:
+            # the oversized-first-word head consumed every token (the
+            # word was the only/last content and pcl clamped to 0):
+            # emitting a rear here would be an EMPTY segment flowing
+            # into the detection DAG
+            return prev, None
         rear_tokens, rear_mentions = truncate(seg.tokens, seg.mentions, rear_n_toks, "head")
         rear_word_start = word_cut - pcl
         drop = 0

@@ -270,6 +270,14 @@ def simhash_chunk_bounds(max_hamming: int, n_bits: int = 64) -> list[tuple[int, 
     chunks, any pair within the distance shares >= 1 exact chunk
     (pigeonhole) — so blocking never drops a qualifying pair. The old
     fixed 4x16-bit scheme silently missed distances 4+."""
+    if max_hamming >= n_bits:
+        # distance >= n_bits admits EVERY pair (even bitwise
+        # complements share no chunk) — no blocking scheme can cover
+        # it; callers wanting all-pairs should not use LSH blocking
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bits={n_bits}: pigeonhole "
+            "blocking cannot guarantee recall; use an all-pairs join"
+        )
     # floor of 2 keeps every chunk <= 32 bits (a 64-bit mask literal
     # overflows LONG); 2 chunks still block distance-0 pairs correctly
     n_chunks = max(min(max_hamming + 1, n_bits), 2)

@@ -109,6 +109,15 @@ def detect_mentions(
     10^12 docs that join is a full re-shuffle of the mention table.
     """
     passthrough_cols = list(passthrough_cols or [])
+    clash = {f.name for f in MENTIONS_SCHEMA.fields} & set(passthrough_cols)
+    if clash:
+        # appending these to MENTIONS_SCHEMA would create duplicate
+        # field names and the dict-keyed assembly below would silently
+        # overwrite the detection output column
+        raise ValueError(
+            f"passthrough_cols collide with detection output fields: {sorted(clash)}; "
+            "rename the input column(s) before detect_mentions"
+        )
     cols = [key_col, text_col]
     if lang_col:
         cols.append(lang_col)

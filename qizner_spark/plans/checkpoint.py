@@ -33,6 +33,13 @@ def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | Non
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            # the directory exists but holds no committed parquet file
+            # (e.g. a crash during the very FIRST append left only
+            # _temporary): semantically "nothing written yet" — treat
+            # as missing so resume stays possible. Corrupt footers
+            # raise a different error class and still propagate.
+            return None
         raise
 
 

@@ -22,6 +22,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _launcher_has_master() -> bool:
+    """True only when a launcher actually configured a master.
+
+    Direct signals, strongest first: an already-running JVM gateway
+    (spark-submit's PythonRunner exports PYSPARK_GATEWAY_PORT) whose
+    conf carries spark.master, or an explicit --master in
+    PYSPARK_SUBMIT_ARGS (pyspark shell). Merely having sourced
+    load-spark-env.sh (SPARK_ENV_LOADED — inherited by every child
+    process) is NOT a master: keying off it made plain `python x.py`
+    fail with 'A master URL must be set'."""
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # the launcher's JVM exists: its system properties are the
+        # truth — read them instead of guessing from env vars
+        from pyspark import SparkConf
+
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    return "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+
+
 def get_spark(
     app_name: str = "qizner-spark",
     master: str | None = None,
@@ -37,11 +56,7 @@ def get_spark(
     turn a cluster job into a single-JVM one.
     """
     master = master or os.environ.get("QIZNER_SPARK_MASTER")
-    launcher_has_master = (
-        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-        or bool(os.environ.get("SPARK_ENV_LOADED"))
-    )
-    if not master and not launcher_has_master:
+    if not master and not _launcher_has_master():
         master = "local[*]"  # plain `python x.py` needs SOME master
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("QIZNER_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

@@ -93,7 +93,7 @@ def test_segment_partitions_tokens_and_rebases(case, max_size):
     assert got_cover == want_cover
 
 
-@given(st.integers(min_value=0, max_value=64))
+@given(st.integers(min_value=0, max_value=63))
 def test_simhash_chunks_tile_64_bits(max_hamming):
     bounds = simhash_chunk_bounds(max_hamming)
     covered = []
@@ -101,3 +101,14 @@ def test_simhash_chunks_tile_64_bits(max_hamming):
         assert 1 <= width <= 32
         covered.extend(range(lo, lo + width))
     assert covered == list(range(64))
+
+
+@given(st.integers(min_value=64, max_value=200))
+def test_simhash_chunks_reject_unblockable_distance(max_hamming):
+    # distance >= n_bits admits complement pairs that share NO chunk:
+    # the pigeonhole guarantee is unsatisfiable, so it must refuse
+    # rather than silently drop qualifying pairs
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_chunk_bounds(max_hamming)

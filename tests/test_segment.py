@@ -129,9 +129,19 @@ class TestSegmentSubtokens:
         toks = ["huge"]
         subs = [f"h{i}" for i in range(7)]
         segs = segment(toks, [], max_size=3, sub_tokens=subs, ori_indexes=[0] * 7)
-        non_empty = [s for s in segs if s.tokens]
-        assert [s.tokens for s in non_empty] == [["huge"]]
-        assert non_empty[0].sub_tokens == subs
+        # no empty trailing segment may be emitted (it would flow into
+        # the detection DAG as a zero-token document slice)
+        assert [s.tokens for s in segs] == [["huge"]]
+        assert segs[0].sub_tokens == subs
+
+    def test_oversized_last_word_no_empty_tail(self):
+        toks = ["w0", "huge"]
+        subs = ["a"] + [f"h{i}" for i in range(5)]
+        oris = [0] + [1] * 5
+        segs = segment(toks, [], max_size=3, sub_tokens=subs, ori_indexes=oris)
+        assert all(s.tokens and s.sub_tokens for s in segs)
+        # full coverage, in order
+        assert [t for s in segs for t in s.tokens] == toks
 
     def test_multiway_split_offsets(self):
         toks = [f"w{i}" for i in range(9)]

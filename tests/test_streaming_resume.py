@@ -167,6 +167,18 @@ class TestResume:
         reprocessed = m2["n_pending"]
         assert reprocessed <= pages.count() - len(sunk)
 
+    def test_empty_staging_dir_means_not_yet_written(self, spark, tmp_path):
+        """A crash during the very FIRST append can leave the sink (or
+        manifest) directory holding only _temporary: resume must treat
+        that as 'nothing committed yet' (None), not raise
+        UNABLE_TO_INFER_SCHEMA forever."""
+        import os
+
+        sink = str(tmp_path / "triples")
+        os.makedirs(os.path.join(sink, "_temporary"))
+        os.makedirs(f"{sink}_processed/_temporary")
+        assert processed_keys(spark, sink) is None
+
     def test_corrupt_manifest_raises_not_silently_reprocesses(self, spark, sf_dir, tmp_path):
         import os
 
