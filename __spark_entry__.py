@@ -17,12 +17,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from qizner_spark.gazetteer import GAZETTEER_SINGLE, SUPER_TYPES, gazetteer_sql_values
+from qizner_spark.gazetteer import (
+    GAZETTEER_FULL,
+    GAZETTEER_SINGLE,
+    SUPER_TYPES,
+    gazetteer_sql_values,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _gaz_prob_values() -> str:
+def _gaz_prob_values(gaz: dict[str, str] | None = None) -> str:
     """Gazetteer VALUES with the exact detection pseudo-probability
     per surface (6-dp decimals: pseudo_prob is 0.5 + k/200000 with
     k < 100000, so the literal is exact)."""
@@ -30,9 +35,61 @@ def _gaz_prob_values() -> str:
 
     rows = ", ".join(
         f"('{m}', '{t}', {pseudo_prob(m):.6f})"
-        for m, t in sorted(GAZETTEER_SINGLE.items())
+        for m, t in sorted((gaz or GAZETTEER_SINGLE).items())
     )
     return f"(VALUES {rows}) AS gazp(mention, ent_type, prob)"
+
+
+def _kgram_spans_sql(key: str, gaz: dict[str, str]) -> str:
+    """CTE fragment: all contiguous k-gram spans (k = 1..max surface
+    length) of a token-list CTE ``t({key}, warc?, toks)`` that match
+    the gazetteer — the SQL mirror of GazetteerScorer.score_mentions
+    (scan bounded by the longest dictionary surface, M17-style).
+    Expects the enclosing WITH to define ``t``; emits ``cand`` and
+    ``spans``. Extra provenance columns on ``t`` must be listed in
+    ``key`` (comma-joined)."""
+    max_k = max(len(m.split(" ")) for m in gaz)
+    ks = ", ".join(f"({k})" for k in range(1, max_k + 1))
+    return f"""
+        cand AS (SELECT {key}, i, k,
+                        array_to_string(list_slice(toks, i + 1, i + k), ' ') AS mention
+                 FROM (SELECT {key}, toks, k,
+                              unnest(generate_series(0, len(toks) - k)) AS i
+                       FROM t CROSS JOIN (VALUES {ks}) kk(k))),
+        spans AS (SELECT c.*, gazp.ent_type, CAST(gazp.prob AS DOUBLE) AS prob,
+                         c.i AS s, c.i + c.k AS e
+                  FROM cand c JOIN {_gaz_prob_values(gaz)} USING (mention))"""
+
+
+def _greedy_flatten_sql(part: str) -> str:
+    """CTE fragment: the reference prob-greedy flatten (L9/L10,
+    datautils.py:1733-1775) as a rank-ordered recursion. Rank = prob
+    DESC then (start, end) ASC — exactly flatten_by_prob's stable
+    sort, whose tie order is detection's (start, end) emission order.
+    Step r keeps span #r iff it overlaps no already-kept interval;
+    kept starts/ends ride as two lockstep lists (multiple unnest()s
+    zip positionally in DuckDB). Emits ``ranked``/``greedy``/``fin``/
+    ``kept`` partitioned by ``part``; join ``spans`` to ``kept`` on
+    (part, s, e) to recover the surviving mentions."""
+    return f"""
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY {part}
+                                                ORDER BY prob DESC, s, e) AS rnk
+                   FROM spans),
+        greedy AS (
+            SELECT {part}, 0 AS rnk, CAST([] AS BIGINT[]) AS ks, CAST([] AS BIGINT[]) AS ke
+            FROM (SELECT DISTINCT {part} FROM ranked)
+            UNION ALL
+            SELECT r.{part}, r.rnk,
+                   CASE WHEN len(list_filter(list_zip(g.ks, g.ke),
+                                             p -> p[1] < r.e AND r.s < p[2])) = 0
+                        THEN list_append(g.ks, r.s) ELSE g.ks END,
+                   CASE WHEN len(list_filter(list_zip(g.ks, g.ke),
+                                             p -> p[1] < r.e AND r.s < p[2])) = 0
+                        THEN list_append(g.ke, r.e) ELSE g.ke END
+            FROM greedy g JOIN ranked r ON r.{part} = g.{part} AND r.rnk = g.rnk + 1),
+        fin AS (SELECT {part}, ks, ke FROM greedy
+                QUALIFY row_number() OVER (PARTITION BY {part} ORDER BY rnk DESC) = 1),
+        kept AS (SELECT {part}, unnest(ks) AS s, unnest(ke) AS e FROM fin)"""
 
 
 # md5 hex-prefix integers — computable identically in Python
@@ -131,6 +188,52 @@ def _hyperplane_bucket_sql(vec: str, dim: int = 64, n_planes: int = 4, seed: int
         dot = f"list_sum(list_transform(list_zip({vec}, [{arr}]), p -> p[1] * p[2]))"
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+# the flagship oracle's page synthesis (mirrors sources/pages.py) and
+# its linking->CC->triple tail — shared verbatim by the single-token
+# (kg_triples) and full-gazetteer (kg_triples_full) oracles; both
+# engines' chains differ ONLY in how ``linked`` mentions are produced
+_KG_PAGES_SQL = """pages AS (
+                SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       1700000000 + doc_id * 60 AS warc_ts, text
+                FROM documents WHERE lang <> 'zh')"""
+
+_KG_TAIL_SQL = """per_doc AS (SELECT DISTINCT url, entity_id FROM linked),
+            edges AS (SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+                      FROM per_doc a JOIN per_doc b
+                      ON a.url = b.url AND a.entity_id < b.entity_id),
+            sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT entity_id AS node FROM linked),
+            reach AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node),
+            comp AS (SELECT node AS entity_id, min(comp) AS canonical_id FROM reach GROUP BY node),
+            canon AS (SELECT l.*, c.canonical_id FROM linked l JOIN comp c USING (entity_id)),
+            t_type AS (
+                SELECT canonical_id AS subj, 'type' AS pred, ent_type AS obj, url,
+                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
+                FROM canon GROUP BY url, canonical_id, ent_type),
+            t_alias AS (
+                SELECT canonical_id AS subj, 'alias' AS pred, mention AS obj, url,
+                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
+                FROM canon GROUP BY url, canonical_id, mention),
+            ent_doc AS (
+                SELECT url, entity_id, canonical_id,
+                       min(warc_ts) AS warc_ts, min(prob) AS prob
+                FROM canon GROUP BY url, entity_id, canonical_id),
+            t_edge AS (
+                SELECT a.canonical_id AS subj, 'mentioned_with' AS pred,
+                       b.canonical_id AS obj, a.url AS url,
+                       min(a.warc_ts) AS warc_ts,
+                       round(min(least(a.prob, b.prob)), 6) AS prob
+                FROM ent_doc a JOIN ent_doc b
+                ON a.url = b.url AND a.entity_id < b.entity_id
+                GROUP BY a.url, a.canonical_id, b.canonical_id)
+            SELECT subj, pred, obj, url, warc_ts, prob FROM t_type
+            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_alias
+            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_edge"""
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +661,41 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", *bins, "width", "height")
 
 
+def _full_gaz_factory():
+    from qizner_spark.core.scoring import GazetteerScorer
+
+    return GazetteerScorer(GAZETTEER_FULL, token_deli=" ")
+
+
+def _detect_full(spark: SparkSession, sf_dir: str, flat: bool) -> DataFrame:
+    """FULL-gazetteer detection (multi-token surfaces -> true span
+    enumeration, L3/L6) through the Arrow operator; ``flat`` toggles
+    the prob-greedy flatten (L10)."""
+    from qizner_spark.operators.mentions import detect_mentions
+
+    out = detect_mentions(
+        _documents(spark, sf_dir), _full_gaz_factory,
+        key_col="doc_id", text_col="text", lang_col=None, flat=flat,
+    )
+    return out.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "start", "end", "mention", "ent_type",
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
+
+
+def _full_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token span detection BEFORE flattening: overlapping
+    nested spans are all emitted (e.g. 'hash', 'join', 'hash join')."""
+    return _detect_full(spark, sf_dir, flat=False)
+
+
+def _flat_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token detection AFTER the prob-greedy flatten: the
+    surviving spans are mutually non-overlapping per document."""
+    return _detect_full(spark, sf_dir, flat=True)
+
+
 def _kg_single_factory():
     from qizner_spark.core.scoring import GazetteerScorer
 
@@ -582,10 +720,17 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship DAG with the FULL gazetteer (multi-token surfaces ->
-    true span detection + prob-greedy flattening); rows-only check."""
+    true span detection + prob-greedy flattening, L3/L6/L10). Oracled
+    end-to-end: k-gram dictionary spans + the recursive greedy-flatten
+    CTE feed the same linking/CC/triple chain as kg_triples."""
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
-    return build_kg_from_sf_dir(spark, sf_dir)["triples"]
+    t = build_kg_from_sf_dir(spark, sf_dir)["triples"]
+    return t.select(
+        "subj", "pred", "obj", "url",
+        F.col("warc_ts").cast("long").alias("warc_ts"),
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -635,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
+        # multi-token span detection + prob-greedy flatten (L3/L10)
+        "full_mentions": _full_mentions,
+        "flat_mentions": _flat_mentions,
         # multimodal + flagship
         "multimodal_features": _multimodal_features,
         "kg_triples": _kg_triples,
@@ -944,51 +1092,52 @@ def oracle_sql() -> dict[str, str]:
         # so only lang <> 'zh' pages produce mentions.
         "kg_triples": f"""
             WITH RECURSIVE
-            pages AS (
-                SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-                       1700000000 + doc_id * 60 AS warc_ts, text
-                FROM documents WHERE lang <> 'zh'),
+            {_KG_PAGES_SQL},
             toks AS (SELECT url, warc_ts, unnest(string_split(text, ' ')) AS mention FROM pages),
             linked AS (
                 SELECT t.url, t.warc_ts, t.mention, gazp.ent_type,
                        CAST(gazp.prob AS DOUBLE) AS prob,
                        'kb:' || gazp.ent_type || ':' || lower(t.mention) AS entity_id
                 FROM toks t JOIN {_gaz_prob_values()} USING (mention)),
-            per_doc AS (SELECT DISTINCT url, entity_id FROM linked),
-            edges AS (SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
-                      FROM per_doc a JOIN per_doc b
-                      ON a.url = b.url AND a.entity_id < b.entity_id),
-            sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-            nodes AS (SELECT DISTINCT entity_id AS node FROM linked),
-            reach AS (
-                SELECT node, node AS comp FROM nodes
-                UNION
-                SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node),
-            comp AS (SELECT node AS entity_id, min(comp) AS canonical_id FROM reach GROUP BY node),
-            canon AS (SELECT l.*, c.canonical_id FROM linked l JOIN comp c USING (entity_id)),
-            t_type AS (
-                SELECT canonical_id AS subj, 'type' AS pred, ent_type AS obj, url,
-                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
-                FROM canon GROUP BY url, canonical_id, ent_type),
-            t_alias AS (
-                SELECT canonical_id AS subj, 'alias' AS pred, mention AS obj, url,
-                       min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
-                FROM canon GROUP BY url, canonical_id, mention),
-            ent_doc AS (
-                SELECT url, entity_id, canonical_id,
-                       min(warc_ts) AS warc_ts, min(prob) AS prob
-                FROM canon GROUP BY url, entity_id, canonical_id),
-            t_edge AS (
-                SELECT a.canonical_id AS subj, 'mentioned_with' AS pred,
-                       b.canonical_id AS obj, a.url AS url,
-                       min(a.warc_ts) AS warc_ts,
-                       round(min(least(a.prob, b.prob)), 6) AS prob
-                FROM ent_doc a JOIN ent_doc b
-                ON a.url = b.url AND a.entity_id < b.entity_id
-                GROUP BY a.url, a.canonical_id, b.canonical_id)
-            SELECT subj, pred, obj, url, warc_ts, prob FROM t_type
-            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_alias
-            UNION ALL SELECT subj, pred, obj, url, warc_ts, prob FROM t_edge
+            {_KG_TAIL_SQL}
+        """,
+        # the same chain with the FULL (multi-token) gazetteer: k-gram
+        # span candidates bounded by the longest surface, then the
+        # prob-greedy flatten as a rank-ordered recursion, then the
+        # identical linking/CC/triple tail
+        "kg_triples_full": f"""
+            WITH RECURSIVE
+            {_KG_PAGES_SQL},
+            t AS (SELECT url, warc_ts, string_split(text, ' ') AS toks FROM pages),
+            {_kgram_spans_sql("url, warc_ts", GAZETTEER_FULL)},
+            {_greedy_flatten_sql("url")},
+            linked AS (
+                SELECT sp.url, sp.warc_ts, sp.mention, sp.ent_type, sp.prob,
+                       'kb:' || sp.ent_type || ':' || lower(sp.mention) AS entity_id
+                FROM spans sp JOIN kept kp
+                ON sp.url = kp.url AND sp.s = kp.s AND sp.e = kp.e),
+            {_KG_TAIL_SQL}
+        """,
+        # multi-token detection BEFORE flattening: every dictionary
+        # k-gram span, nested/overlapping included (L3 enumeration)
+        "full_mentions": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            {_kgram_spans_sql("doc_id", GAZETTEER_FULL)}
+            SELECT doc_id, s AS start, e AS "end", mention, ent_type,
+                   round(prob, 6) AS prob
+            FROM spans
+        """,
+        # ... and AFTER: the recursive greedy flatten keeps a span iff
+        # it overlaps no higher-ranked kept span (L10)
+        "flat_mentions": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            {_kgram_spans_sql("doc_id", GAZETTEER_FULL)},
+            {_greedy_flatten_sql("doc_id")}
+            SELECT sp.doc_id, sp.s AS start, sp.e AS "end", sp.mention, sp.ent_type,
+                   round(sp.prob, 6) AS prob
+            FROM spans sp JOIN kept kp
+            ON sp.doc_id = kp.doc_id AND sp.s = kp.s AND sp.e = kp.e
         """,
         # fake decoder = byte histogram of the UTF-8 text payload; the
         # texts are ASCII so codepoints == bytes (unicode(c) per char)
