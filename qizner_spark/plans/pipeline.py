@@ -25,6 +25,21 @@ Shuffle inventory (the whole point at 100 TB):
   4. final write, partitioned by bucket(subj).
 The html binary never crosses a stage boundary. Everything before
 detection is whole-stage codegen; detection is one Arrow pass.
+
+SortMergeJoin disposition (audited on the executed sf0.001 plan,
+locked in by tests/test_plan_shape.py): the initial physical plan
+contains 5 SMJs — the nodes ⟕ components left join inside
+``assign_components`` (appearing once per assembly branch that
+references ``canon``) and the per-url co-mention self-join in
+``canon_edges``. At sandbox scale AQE's runtime statistics convert
+every one of them to BroadcastHashJoin (final plan: 0 SMJ, 0
+CartesianProduct, 0 BroadcastNestedLoopJoin). At 100 TB the url
+self-join and the entity/components joins legitimately STAY
+sort-merge — both sides are large, the url key is already clustered
+from detection (no extra shuffle for the sort), and pinning a
+broadcast there is exactly the OOM the ``broadcast_components``
+guard exists to prevent. No action needed; the plan picks the right
+strategy at each scale because the joins are unhinted equi-joins.
 """
 
 from __future__ import annotations
@@ -92,6 +107,7 @@ def build_kg(
     decode_threshold: float = 0.5,
     persist_intermediates: bool = True,
     salt_buckets: int | None = None,
+    broadcast_components: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every intermediate plus ``triples``.
 
@@ -100,7 +116,17 @@ def build_kg(
     branches (alias build, linking, provenance, edges, components),
     and without persistence each action re-runs the Arrow detection
     stage per branch. Production equivalent: write mentions to a
-    staging Iceberg table between phases."""
+    staging Iceberg table between phases.
+
+    ``broadcast_components`` (default False): the entity->canonical
+    map is UNBOUNDED — on 10^12-doc webtext the canonical-entity
+    vocabulary is easily 10^8+ rows, and an unconditional
+    ``F.broadcast`` hint there OOMs the driver/executors. Left
+    unhinted, AQE's runtime size statistics convert the join to
+    broadcast-hash exactly when the side is genuinely under
+    spark.sql.autoBroadcastJoinThreshold — the correct size estimate
+    at every scale. Pass True only when the caller KNOWS the entity
+    dimension is bounded-small (e.g. a closed dictionary)."""
     scorer_factory = scorer_factory or default_scorer_factory
 
     docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
@@ -130,7 +156,8 @@ def build_kg(
         salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
     ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
 
-    canon = linked.join(F.broadcast(components), "entity_id")
+    comp_side = F.broadcast(components) if broadcast_components else components
+    canon = linked.join(comp_side, "entity_id")
 
     # Branch-local aggregation replaces a global dropDuplicates over
     # the unioned triples: each branch groups on ITS OWN key while the

@@ -1,0 +1,126 @@
+"""Physical-plan regression tests: lock in the join strategies the
+plan audits established (rounds 1-3) so a refactor can't silently
+reintroduce a scale-killer.
+
+Rules encoded here:
+  * No ``CartesianProduct`` anywhere, ever.
+  * ``BroadcastNestedLoopJoin`` only in :func:`brute_force_topk` — the
+    deliberately-exact baseline that broadcasts a bounded query set;
+    every scale-path operator (ANN, fuzzy dedup, linking, flagship)
+    must be equi-join only.
+  * Small-dimension joins the code hints (alias dictionary, ANN query
+    side) must actually plan as ``BroadcastHashJoin``.
+  * The components join is UNHINTED by default (AQE decides); with
+    ``broadcast_components=True`` it must become a broadcast join.
+
+Plans are inspected AFTER an action so AQE's runtime replanning is
+final (the string still contains the initial plan as a subtree, so
+assertions on forbidden nodes cover both)."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def final_plan(df) -> str:
+    df.collect()  # drive AQE to isFinalPlan=true
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Executed plans of the headline queries (computed once)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    names = [
+        "ner_mentions", "comention_edges", "ann_topk", "minhash_dedup",
+        "simhash_dedup", "embedding_near_dup", "similarity_topk", "kg_triples",
+    ]
+    return {n: final_plan(qs[n](spark, sf_dir)) for n in names}
+
+
+FORBIDDEN_EVERYWHERE = ["CartesianProduct"]
+# the brute-force baseline broadcasts its bounded query set with no
+# join condition — the ONLY place a nested-loop join is acceptable
+BNLJ_ALLOWED = {"similarity_topk"}
+
+
+class TestForbiddenJoins:
+    def test_no_cartesian_anywhere(self, plans):
+        for name, plan in plans.items():
+            for node in FORBIDDEN_EVERYWHERE:
+                assert node not in plan, f"{name} plans a {node}"
+
+    def test_bnlj_only_in_brute_force_baseline(self, plans):
+        for name, plan in plans.items():
+            if name in BNLJ_ALLOWED:
+                continue
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a BroadcastNestedLoopJoin — a scale path "
+                "must join on keys (equi-join), not enumerate pairs"
+            )
+
+
+class TestIntendedBroadcasts:
+    def test_ann_bucket_join_is_broadcast_hash(self, plans):
+        assert "BroadcastHashJoin" in plans["ann_topk"]
+        assert "BroadcastNestedLoopJoin" not in plans["ann_topk"]
+
+    def test_flagship_has_no_shuffle_killers(self, plans):
+        plan = plans["kg_triples"]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # alias-dictionary joins are hinted broadcast
+        assert "BroadcastHashJoin" in plan
+
+    def test_alias_join_is_broadcast(self, spark, sf_dir):
+        from qizner_spark.operators.linking import build_alias_dictionary, link_mentions
+        from pyspark.sql import functions as F
+        import __spark_entry__ as em
+
+        mentions = em.queries()["ner_mentions"](spark, sf_dir).withColumn(
+            "url", F.col("doc_id").cast("string")
+        )
+        linked = link_mentions(mentions, build_alias_dictionary(mentions))
+        assert "BroadcastHashJoin" in final_plan(linked)
+
+
+class TestComponentsBroadcastGuard:
+    def test_default_is_unhinted_and_parity_with_hinted(self, spark, sf_dir):
+        """The entity->canonical join must not carry an unconditional
+        broadcast hint (unbounded dimension at webtext scale); forcing
+        the hint must not change the result."""
+        from qizner_spark.plans.pipeline import build_kg_from_sf_dir
+
+        t_default = build_kg_from_sf_dir(
+            spark, sf_dir, persist_intermediates=False
+        )["triples"]
+        t_hinted = build_kg_from_sf_dir(
+            spark, sf_dir, persist_intermediates=False, broadcast_components=True
+        )["triples"]
+        cols = ["subj", "pred", "obj", "url"]
+        assert t_default.select(cols).exceptAll(t_hinted.select(cols)).count() == 0
+        assert t_hinted.select(cols).exceptAll(t_default.select(cols)).count() == 0
+
+    def test_no_broadcast_hint_in_default_logical_plan(self, spark, sf_dir):
+        """ResolvedHint on the components side would mean the guard
+        regressed to an unconditional broadcast; AQE choosing a
+        broadcast at runtime (size-based) remains fine. The default
+        plan still carries the alias-dictionary hints (replicated per
+        assembly branch), so compare default vs forced rather than
+        asserting zero."""
+        from qizner_spark.plans.pipeline import build_kg_from_sf_dir
+
+        def hints(bc: bool) -> int:
+            t = build_kg_from_sf_dir(
+                spark, sf_dir, persist_intermediates=False, broadcast_components=bc
+            )["triples"]
+            return t._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+        assert hints(False) < hints(True), (
+            "broadcast_components=True added no hint — the flag is dead — "
+            "or the default plan already hints the components join"
+        )
