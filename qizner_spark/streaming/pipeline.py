@@ -66,6 +66,7 @@ def stream_sessionize_events(
     gap_seconds: int = 1800,
     watermark: str = "0 seconds",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
     per-user sessionization at a ``gap_seconds`` inactivity gap — the
@@ -74,28 +75,29 @@ def stream_sessionize_events(
     session with running totals', so this is the documented
     applyInPandasWithState use case).
 
-    State per user: (session_start, last_ts, n_events, total_value)
-    as epoch seconds. A session row is emitted when a later event
-    arrives past the gap, or when the event-time timeout fires
-    (watermark passed last_ts + gap). The final open session per user
-    emits only after the watermark passes it — append-mode semantics,
-    same caveat as windowed aggregation.
+    Event-time-correct semantics: state per user is the LIST of open
+    candidate sessions (parallel arrays of start/last/n/total). Each
+    incoming event opens a singleton session; candidates are then
+    interval-merged (two sessions fuse when their gap is <=
+    ``gap_seconds``). A session is EMITTED only once the watermark
+    has passed ``last + gap`` — at that point no in-watermark event
+    can still extend it, so emission is final (append-mode). Closing
+    eagerly on a gap observed mid-stream would be wrong across
+    micro-batches: file order is not event-time order, and a
+    straggler from a later file could belong to an already-emitted
+    session (or worse, be silently absorbed into the next one).
 
-    Watermark choice matters when the backlog spans MULTIPLE
-    micro-batches (availableNow splits at maxFilesPerTrigger): file
-    order is not event-time order, and Spark drops rows older than
-    the watermark BEFORE they reach this function. The default
-    '0 seconds' is only exact for single-batch runs / ordered feeds;
-    set the watermark to the real out-of-orderness bound (e.g.
-    '2 hours') for multi-batch backlogs. In-watermark events that
-    still arrive older than the open session's start are absorbed
-    (start is min-updated) rather than silently mis-attributed.
+    The remaining caveat is Spark's own watermark contract: rows
+    older than the watermark are dropped BEFORE they reach this
+    function, so set ``watermark`` to the real out-of-orderness
+    bound of the feed; and the trailing open session per user emits
+    only once a later event pushes the watermark past it.
     """
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
-        DoubleType, LongType, StructField as SF, StructType as ST,
+        ArrayType, DoubleType, LongType, StructField as SF, StructType as ST,
     )
 
     out_schema = ST([
@@ -104,50 +106,69 @@ def stream_sessionize_events(
         SF("total_value", DoubleType()),
     ])
     state_schema = ST([
-        SF("start", LongType()), SF("last", LongType()),
-        SF("n", LongType()), SF("total", DoubleType()),
+        SF("starts", ArrayType(LongType())), SF("lasts", ArrayType(LongType())),
+        SF("ns", ArrayType(LongType())), SF("totals", ArrayType(DoubleType())),
     ])
 
     def fn(key, pdfs, state):
         (user,) = key
-        sessions = []
-        if state.hasTimedOut:
-            if state.exists:
-                s0, last, n, tot = state.get
-                sessions.append((user, s0, last, n, tot))
-                state.remove()
+        if state.exists:
+            starts, lasts, ns, tots = (list(x) for x in state.get)
         else:
-            pdf = pd.concat(list(pdfs)).sort_values("ts")
-            if state.exists:
-                s0, last, n, tot = state.get
-            else:
-                s0 = last = None
-                n, tot = 0, 0.0
+            starts, lasts, ns, tots = [], [], [], []
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs))
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = int(pd.Timestamp(ts).timestamp())
-                if s0 is None:
-                    s0, last, n, tot = t, t, 1, float(val)
-                elif t - last > gap_seconds:
-                    sessions.append((user, s0, last, n, tot))
-                    s0, last, n, tot = t, t, 1, float(val)
+                starts.append(t)
+                lasts.append(t)
+                ns.append(1)
+                tots.append(float(val))
+            # interval-merge candidates in start order: a straggler
+            # lands in (or bridges) exactly the session(s) it belongs
+            # to, regardless of arrival order
+            order = sorted(range(len(starts)), key=lambda i: (starts[i], lasts[i]))
+            m: tuple[list, list, list, list] = ([], [], [], [])
+            for i in order:
+                if m[0] and starts[i] - m[1][-1] <= gap_seconds:
+                    m[1][-1] = max(m[1][-1], lasts[i])
+                    m[2][-1] += ns[i]
+                    m[3][-1] += tots[i]
                 else:
-                    # cross-batch stragglers may be older than the
-                    # open session's start — absorb, don't misdate
-                    s0 = min(s0, t)
-                    last, n, tot = max(last, t), n + 1, tot + float(val)
-            state.update((s0, last, n, tot))
-            # close the session once event time passes last + gap
-            state.setTimeoutTimestamp((last + gap_seconds + 1) * 1000)
+                    for lst, v in zip(m, (starts[i], lasts[i], ns[i], tots[i])):
+                        lst.append(v)
+            starts, lasts, ns, tots = m
+        # emit every session the watermark has sealed: no in-watermark
+        # event can be within gap of it anymore, so it cannot grow
+        wm = state.getCurrentWatermarkMs() // 1000
+        sessions = []
+        keep: tuple[list, list, list, list] = ([], [], [], [])
+        for s0, last, n, tot in zip(starts, lasts, ns, tots):
+            if last + gap_seconds < wm:
+                sessions.append((user, s0, last, n, tot))
+            else:
+                for lst, v in zip(keep, (s0, last, n, tot)):
+                    lst.append(v)
+        if keep[0]:
+            state.update(tuple(keep))
+            # revisit as soon as the watermark can seal the oldest
+            # still-open session ( > current wm by construction)
+            state.setTimeoutTimestamp((min(keep[1]) + gap_seconds + 1) * 1000)
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             sessions,
             columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
         )
 
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-            "value double, props string"
-        ).parquet(input_dir)
+        reader.parquet(input_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )

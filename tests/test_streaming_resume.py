@@ -107,6 +107,71 @@ class TestStreaming:
         assert got == want
         assert len(got) > 0
 
+    def test_sessionize_multibatch_out_of_order(self, spark, tmp_path):
+        """maxFilesPerTrigger=1 + files NOT in event-time order + a
+        nonzero watermark: in-watermark stragglers from later files
+        must merge into the session they belong to (even bridging a
+        gap observed earlier), and a session may only be emitted once
+        the watermark seals it. This drives the cross-batch semantics
+        the single-batch availableNow test cannot reach."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        B = 1_700_000_000
+        gap = 100
+
+        def rows(*evs):
+            return [(i, B + t, u, "e", t / 1000.0, "{}") for i, (u, t) in enumerate(evs)]
+
+        # file order != event-time order; max out-of-orderness ~1000 s
+        # (< the 1500 s watermark, so nothing is dropped)
+        files = [
+            rows((1, 1050), (1, 1080), (2, 1150), (1, 2000)),
+            rows((1, 1000), (2, 1100), (1, 2050), (2, 3000)),
+            rows((999, 100000)),  # sentinel: pushes the final watermark
+        ]
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        for i, data in enumerate(files):
+            tbl = pa.table({
+                "event_id": pa.array([r[0] for r in data], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in data], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in data], pa.int64()),
+                "event_type": pa.array([r[3] for r in data], pa.string()),
+                "value": pa.array([r[4] for r in data], pa.float64()),
+                "props": pa.array([r[5] for r in data], pa.string()),
+            })
+            path = str(in_dir / f"f{i}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000_000 + i * 10, 1_000_000 + i * 10))  # force file order
+
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = stream_sessionize_events(
+            spark, str(in_dir), out_dir, ckpt,
+            gap_seconds=gap, watermark="1500 seconds", max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["user_id"], r["session_start"] - B, r["session_end"] - B,
+             r["n_events"], round(r["total_value"], 6))
+            for r in spark.read.parquet(out_dir).collect()
+            if r["user_id"] != 999
+        }
+        want = {
+            # user 1 session 1: the t=1000 straggler arrived one batch
+            # AFTER 1050/1080 — start must still be 1000 and n=3
+            (1, 1000, 1080, 3, round(1.0 + 1.05 + 1.08, 6)),
+            (1, 2000, 2050, 2, round(2.0 + 2.05, 6)),
+            (2, 1100, 1150, 2, round(1.1 + 1.15, 6)),
+            (2, 3000, 3000, 1, 3.0),
+        }
+        assert got == want
+        # the run actually split into one batch per file
+        assert q.lastProgress is not None
+
     def test_stream_restart_is_exactly_once(self, spark, sf_dir, tmp_path):
         pages = pages_from_documents(spark, sf_dir)
         in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
