@@ -88,6 +88,33 @@ class GazetteerScorer:
         return out
 
 
+def _hash_embed_batch(tokens: Sequence[str], dim: int) -> np.ndarray:
+    """[len(tokens), dim] float32 embeddings in ONE numpy pass:
+    SplitMix64-style avalanche over (crc32(token), column) counters,
+    top 53 bits -> uniform [0,1) -> symmetric with variance ~1
+    (uniform on [-sqrt(3), sqrt(3)]). Deterministic across processes;
+    no RandomState objects anywhere on the hot path."""
+    keys = np.fromiter(
+        (stable_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    ctr = np.arange(1, dim + 1, dtype=np.uint64)[None, :]
+    # 0-d array constants + explicit ufuncs: numpy 1.26's scalar-typed
+    # `arr >> np.uint64(k)` operator path is ~200x slower than the
+    # array-typed ufunc loop (measured 4.8 s vs 0.03 s on 12.8M elems)
+    c1 = np.asarray(0x9E3779B97F4A7C15, dtype=np.uint64)
+    c2 = np.asarray(0xBF58476D1CE4E5B9, dtype=np.uint64)
+    c3 = np.asarray(0x94D049BB133111EB, dtype=np.uint64)
+    z = np.multiply(keys[:, None], c1) + np.multiply(ctr, c2)
+    z ^= np.right_shift(z, np.asarray(30, dtype=np.uint64))
+    z = np.multiply(z, c2)
+    z ^= np.right_shift(z, np.asarray(27, dtype=np.uint64))
+    z = np.multiply(z, c3)
+    z ^= np.right_shift(z, np.asarray(31, dtype=np.uint64))
+    u = np.right_shift(z, np.asarray(11, dtype=np.uint64)).astype(np.float64)
+    u *= 1.0 / (1 << 53)
+    return ((u * 2.0 - 1.0) * 1.7320508075688772).astype(np.float32)
+
+
 class HashBiaffineScorer:
     """Deterministic dense scorer with the reference compute shape.
 
@@ -108,13 +135,36 @@ class HashBiaffineScorer:
         self.w_start = rng.randn(n_ent, dim, HEAD_SIZE).astype(np.float32) * 0.1
         self.w_end = rng.randn(n_ent, dim, HEAD_SIZE).astype(np.float32) * 0.1
         self.interaction = Interaction(interact_type, n_ent, HEAD_SIZE, rng)
+        self._memo: dict[str, np.ndarray] = {}
+
+    _MEMO_CAP = 100_000  # ~25 MB at dim 64 — bounded per worker
 
     def embed(self, tokens: Sequence[str]) -> np.ndarray:
+        """Token embeddings from a VECTORIZED counter hash (SplitMix64
+        mix over a [token, dim] grid -> uniform -> unit-variance
+        symmetric floats). The old per-token ``RandomState``
+        construction dominated the dense path's wall clock; this runs
+        one numpy pass over the miss set and memoizes per instance
+        (token frequency is Zipf, so the cache absorbs the bulk)."""
         n = len(tokens)
         out = np.empty((n, self.dim), dtype=np.float32)
+        miss_tok: list[str] = []
+        miss_idx: list[int] = []
+        memo = self._memo
         for i, tok in enumerate(tokens):
-            r = np.random.RandomState(stable_hash(tok) % (2**31))
-            out[i] = r.randn(self.dim).astype(np.float32)
+            v = memo.get(tok)
+            if v is not None:
+                out[i] = v
+            else:
+                miss_tok.append(tok)
+                miss_idx.append(i)
+        if miss_tok:
+            vecs = _hash_embed_batch(miss_tok, self.dim)
+            cache = len(memo) < self._MEMO_CAP
+            for j, (tok, i) in enumerate(zip(miss_tok, miss_idx)):
+                out[i] = vecs[j]
+                if cache:
+                    memo[tok] = vecs[j]
         return out
 
     def heads(self, tokens: Sequence[str],
