@@ -661,6 +661,23 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", *bins, "width", "height")
 
 
+def _raw_offset_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/D8 at the driver surface: raw text -> zheng_process offset
+    maps -> token-space gazetteer detection -> mentions_to_raw
+    restores raw character offsets; raw_slice re-reads the verbatim
+    raw string at those offsets (byte-identity witness)."""
+    from qizner_spark.operators.mentions import detect_mentions_raw
+
+    out = detect_mentions_raw(
+        _documents(spark, sf_dir), _kg_single_factory, key_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "ent_type", "raw_start", "raw_end", "mention", "raw_slice",
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
+
+
 def _full_gaz_factory():
     from qizner_spark.core.scoring import GazetteerScorer
 
@@ -783,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-token span detection + prob-greedy flatten (L3/L10)
         "full_mentions": _full_mentions,
         "flat_mentions": _flat_mentions,
+        # raw-text offset maps (T4/D8)
+        "raw_offset_mentions": _raw_offset_mentions,
         # multimodal + flagship
         "multimodal_features": _multimodal_features,
         "kg_triples": _kg_triples,
@@ -1126,6 +1145,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, s AS start, e AS "end", mention, ent_type,
                    round(prob, 6) AS prob
             FROM spans
+        """,
+        # raw-offset restoration (T4/D8). Reference convention
+        # (datautils.py:3138-3158): dropped whitespace back-fills the
+        # raw2char map from the RIGHT, so a token's first raw offset
+        # is the separator BEFORE it (leading space, except the first
+        # token); raw_end is the token's own text end.
+        "raw_offset_mentions": f"""
+            WITH toks AS (SELECT doc_id, text,
+                                 unnest(string_split(text, ' ')) AS mention,
+                                 unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+                          FROM documents),
+            offs AS (SELECT doc_id, text, mention, pos,
+                            CAST(coalesce(sum(length(mention) + 1) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+                                AS word_start
+                     FROM toks)
+            SELECT o.doc_id, gazp.ent_type,
+                   CAST(o.word_start - CASE WHEN o.pos > 0 THEN 1 ELSE 0 END AS INT) AS raw_start,
+                   CAST(o.word_start + length(o.mention) AS INT) AS raw_end,
+                   o.mention,
+                   substr(o.text, o.word_start - CASE WHEN o.pos > 0 THEN 1 ELSE 0 END + 1,
+                          length(o.mention) + CASE WHEN o.pos > 0 THEN 1 ELSE 0 END) AS raw_slice,
+                   round(CAST(gazp.prob AS DOUBLE), 6) AS prob
+            FROM offs o JOIN {_gaz_prob_values()} USING (mention)
         """,
         # ... and AFTER: the recursive greedy flatten keeps a span iff
         # it overlaps no higher-ranked kept span (L10)

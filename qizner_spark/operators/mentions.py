@@ -192,3 +192,56 @@ def detect_mentions(
             yield frame
 
     return narrow.mapInPandas(run, schema=out_schema)
+
+
+RAW_MENTIONS_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("ent_type", StringType()),
+        StructField("raw_start", IntegerType()),
+        StructField("raw_end", IntegerType()),
+        StructField("mention", StringType()),    # token-space surface
+        StructField("raw_slice", StringType()),  # raw_text[raw_start:raw_end]
+        StructField("prob", FloatType()),
+    ]
+)
+
+
+def detect_mentions_raw(
+    docs: DataFrame,
+    scorer_factory: Callable[[], object],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw-text detection through the ZHENG offset machinery (T4/D8):
+    zheng_process builds tokens + raw<->token offset maps from the
+    VERBATIM raw string (byte-identity invariant, reference
+    datautils.py:3084-3175), the scorer runs in token space, and
+    mentions_to_raw (datautils.py:3177-3185) restores raw character
+    offsets. Reference convention: dropped whitespace back-fills the
+    raw2char map from the RIGHT (datautils.py:3144-3147), so a
+    non-initial token's first raw offset is the separator BEFORE it —
+    ``raw_slice`` carries that leading whitespace; ``raw_end`` is the
+    token text's own end.
+    """
+    from qizner_spark.core.tokenize import mentions_to_raw, zheng_process
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _get_scorer(scorer_factory)
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RAW_MENTIONS_SCHEMA.fields}
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                z = zheng_process(text)
+                found = scorer.score_mentions(z.tokens, z.mentions)
+                raw = mentions_to_raw(found, z.char2raw)
+                for (t, s, e, p), (_, rs, re_, _) in zip(found, raw):
+                    out["doc_key"].append(str(key))
+                    out["ent_type"].append(t)
+                    out["raw_start"].append(int(rs))
+                    out["raw_end"].append(int(re_))
+                    out["mention"].append(" ".join(z.tokens[s:e]))
+                    out["raw_slice"].append(z.raw_text[rs:re_])
+                    out["prob"].append(float(p))
+            yield pd.DataFrame(out)
+
+    return docs.select(key_col, text_col).mapInPandas(run, schema=RAW_MENTIONS_SCHEMA)

@@ -1,33 +1,60 @@
-"""Resume-from-checkpoint: skip work already committed to the sink.
+"""Resume-from-checkpoint with an atomic-commit sink.
 
 The reference materializes segmented/sampled datasets and REUSES them
 if present (/root/reference/data_reader.py:396-416) — the same
 pattern at engine level: every batch run anti-joins its input against
 the urls already committed, processes only the remainder, and
-APPENDS. Restartable at any point; a url's triples land in the sink
-at most once because the done-set is the UNION of the manifest and
-the sink's own keys: if a crash lands between the data append and
-the manifest append, the rerun sees those urls in the sink and skips
-them (zero-triple urls, which never reach the sink, are reprocessed
-— and again produce nothing, so the rerun is a no-op for them).
-Spark's parquet job commit is atomic at job level (_temporary
-staging), so each append is all-or-nothing. In production the sink
-is an Iceberg table and the key set comes from the current snapshot.
+APPENDS an increment. Restartable at any point.
+
+Commit protocol (the Iceberg-snapshot shape, emulated on a plain
+filesystem so the production swap is mechanical):
+
+  1. STAGE   — write the increment's triples under
+               ``{sink}/_staging/{run_id}`` (leading underscore:
+               invisible to every ``spark.read.parquet(sink)``).
+  2. COMMIT  — append ONE parquet file (coalesce(1) => a single
+               atomic rename inside the job commit) to the manifest
+               ``{sink}_processed`` recording (url, run_id) for EVERY
+               url of the batch, including zero-triple urls. This is
+               the commit point — exactly Iceberg's snapshot append.
+  3. PUBLISH — one directory rename ``_staging/{run_id}`` ->
+               ``run_id={run_id}`` makes the data visible as a
+               partition of the sink.
+
+Crash analysis (see tests/test_streaming_resume.py):
+  * before COMMIT: the staged dir is invisible and unmanifested —
+    :func:`recover_sink` deletes it; the batch reprocesses; no
+    duplicates because nothing was readable.
+  * between COMMIT and PUBLISH: the manifest says done but the data
+    is still hidden — :func:`recover_sink` ROLLS FORWARD by
+    finishing the rename (the staged dir is complete by
+    construction); no reprocess, no duplicates, no loss.
+  * after PUBLISH: fully committed.
+Because the manifest covers zero-triple urls too, nothing is ever
+reprocessed after a successful commit (the pre-round-3 residue).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
 
 
+class SimulatedCrash(RuntimeError):
+    """Raised by the test-only crash hooks in :func:`run_resumable`."""
+
+
 def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | None:
     """Distinct key column of a parquet path, or None ONLY when the
-    path does not exist. Any other failure (corrupt footer, permission
-    denied) re-raises: silently treating a broken manifest as missing
-    would re-append every url's triples."""
+    path does not exist / holds no committed file. Any other failure
+    (corrupt footer, permission denied) re-raises: silently treating
+    a broken manifest as missing would re-append every url's
+    triples."""
     try:
         return spark.read.parquet(path).select(key).distinct()
     except AnalysisException as e:
@@ -36,9 +63,9 @@ def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | Non
         if "UNABLE_TO_INFER_SCHEMA" in str(e):
             # the directory exists but holds no committed parquet file
             # (e.g. a crash during the very FIRST append left only
-            # _temporary): semantically "nothing written yet" — treat
-            # as missing so resume stays possible. Corrupt footers
-            # raise a different error class and still propagate.
+            # _temporary or _staging): semantically "nothing written
+            # yet". Corrupt footers raise a different error class and
+            # still propagate.
             return None
         raise
 
@@ -46,9 +73,10 @@ def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | Non
 def processed_keys(spark: SparkSession, sink_path: str, key: str = "url") -> DataFrame | None:
     """Keys already processed = manifest keys UNION sink keys.
 
-    The manifest records documents that yielded zero triples; the
-    sink itself covers the crash window where data committed but the
-    manifest append did not. None when neither exists yet."""
+    Under the staged protocol the manifest alone is authoritative
+    (data publishes only after the manifest commit), but the union
+    keeps resume correct for pre-protocol sinks and for a manually
+    damaged manifest. None when neither exists yet."""
     manifest = _keys_if_exists(spark, f"{sink_path}_processed", key)
     sink = _keys_if_exists(spark, sink_path, key)
     if manifest is None:
@@ -65,42 +93,88 @@ def pending_only(pages: DataFrame, done: DataFrame | None, key: str = "url") -> 
     return pages.join(done, key, "left_anti")
 
 
+def _manifest_run_ids(spark: SparkSession, sink_path: str) -> set[str]:
+    df = _keys_if_exists(spark, f"{sink_path}_processed", "run_id")
+    if df is None:
+        return set()
+    return {r["run_id"] for r in df.collect()}
+
+
+def recover_sink(spark: SparkSession, sink_path: str) -> dict:
+    """Reconcile staged increments with the manifest (call on open —
+    :func:`run_resumable` does). Committed-but-unpublished run_ids
+    are rolled FORWARD (finish the rename); unmanifested staging
+    dirs are rolled BACK (deleted). Returns counts for observability."""
+    staging_root = os.path.join(sink_path, "_staging")
+    if not os.path.isdir(staging_root):
+        return {"rolled_forward": 0, "rolled_back": 0}
+    committed = _manifest_run_ids(spark, sink_path)
+    fwd = back = 0
+    for rid in os.listdir(staging_root):
+        src = os.path.join(staging_root, rid)
+        if rid in committed:
+            os.rename(src, os.path.join(sink_path, f"run_id={rid}"))
+            fwd += 1
+        else:
+            shutil.rmtree(src)
+            back += 1
+    return {"rolled_forward": fwd, "rolled_back": back}
+
+
 def run_resumable(
     spark: SparkSession,
     pages: DataFrame,
     sink_path: str,
     metrics_path: str | None = None,
+    crash_after: str | None = None,
     **kg_kwargs,
 ) -> dict:
     """One resumable increment of the flagship pipeline:
-    filter-to-pending -> build KG -> append triples -> log metrics.
-    Crash/rerun safe: reprocessing is keyed off the sink itself."""
+    recover -> filter-to-pending -> build KG -> stage -> commit
+    manifest -> publish. Crash/rerun safe at every step boundary.
+
+    ``crash_after`` ('stage' | 'commit') raises :class:`SimulatedCrash`
+    at the corresponding point — test hook for the crash-injection
+    suite; never set it in production."""
     from qizner_spark.plans.pipeline import build_kg
 
+    recovered = recover_sink(spark, sink_path)
     done = processed_keys(spark, sink_path)
     todo = pending_only(pages, done)
     t0 = time.time()
     n_pending = todo.count()
     if n_pending == 0:
         metrics = {"n_pending": 0, "n_new_triples": 0, "wall_sec": round(time.time() - t0, 3),
-                   "resumed": done is not None, "ts": int(time.time())}
+                   "resumed": done is not None, "ts": int(time.time()), **recovered}
     else:
+        run_id = uuid.uuid4().hex[:16]
         stages = build_kg(spark, todo, **kg_kwargs)
         triples = stages["triples"].withColumn(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(64))
         ).persist()
-        triples.write.mode("append").partitionBy("subj_bucket").parquet(sink_path)
-        # manifest AFTER the data write: a crash between the two is
-        # reconciled on rerun because processed_keys unions the sink's
-        # own url column — already-appended urls are skipped, never
-        # appended twice
-        todo.select("url").distinct().write.mode("append").parquet(f"{sink_path}_processed")
+        n_new = triples.count()
+        # 1. STAGE (invisible: underscore prefix hides it from reads)
+        staging = os.path.join(sink_path, "_staging", run_id)
+        triples.write.mode("overwrite").partitionBy("subj_bucket").parquet(staging)
+        if crash_after == "stage":
+            raise SimulatedCrash("crashed after staging, before manifest commit")
+        # 2. COMMIT: single-file manifest append = one atomic rename.
+        #    Covers zero-triple urls too, so nothing ever reprocesses.
+        todo.select("url").distinct().withColumn(
+            "run_id", F.lit(run_id)
+        ).coalesce(1).write.mode("append").parquet(f"{sink_path}_processed")
+        if crash_after == "commit":
+            raise SimulatedCrash("crashed after manifest commit, before publish")
+        # 3. PUBLISH: one directory rename
+        os.rename(staging, os.path.join(sink_path, f"run_id={run_id}"))
         metrics = {
             "n_pending": n_pending,
-            "n_new_triples": triples.count(),  # served from cache, no recompute
+            "n_new_triples": n_new,
             "wall_sec": round(time.time() - t0, 3),
             "resumed": done is not None,
             "ts": int(time.time()),
+            "run_id": run_id,
+            **recovered,
         }
         triples.unpersist()
     if metrics_path:

@@ -232,6 +232,51 @@ class TestResume:
         reprocessed = m2["n_pending"]
         assert reprocessed <= pages.count() - len(sunk)
 
+    def test_crash_after_stage_rolls_back_no_duplicates(self, spark, sf_dir, tmp_path):
+        """Crash BEFORE the manifest commit: the staged increment is
+        invisible and must be rolled back on the next run; the batch
+        reprocesses exactly once with no duplicate rows."""
+        from qizner_spark.plans.checkpoint import SimulatedCrash
+
+        pages = pages_from_documents(spark, sf_dir).limit(30)
+        sink = str(tmp_path / "triples")
+        with pytest.raises(SimulatedCrash):
+            run_resumable(spark, pages, sink, crash_after="stage")
+        # nothing committed: the sink has no readable data
+        assert processed_keys(spark, sink) is None
+        m = run_resumable(spark, pages, sink)
+        assert m["rolled_back"] == 1 and m["rolled_forward"] == 0
+        assert m["n_pending"] == 30
+        sunk = spark.read.parquet(sink)
+        assert sunk.count() == sunk.dropDuplicates(["url", "subj", "pred", "obj"]).count()
+        # and a third run is a clean no-op
+        assert run_resumable(spark, pages, sink)["n_pending"] == 0
+
+    def test_crash_after_commit_rolls_forward_no_reprocess(self, spark, sf_dir, tmp_path):
+        """Crash BETWEEN manifest commit and publish: the next run
+        must finish the rename (roll forward) — no data loss, no
+        duplicate, and crucially NO reprocessing (the manifest covers
+        every url of the batch, zero-triple urls included)."""
+        from qizner_spark.plans.checkpoint import SimulatedCrash
+
+        pages = pages_from_documents(spark, sf_dir).limit(30)
+        sink = str(tmp_path / "triples")
+        with pytest.raises(SimulatedCrash):
+            run_resumable(spark, pages, sink, crash_after="commit")
+        m = run_resumable(spark, pages, sink)
+        assert m["rolled_forward"] == 1 and m["rolled_back"] == 0
+        assert m["n_pending"] == 0  # manifest already covered the batch
+        sunk = spark.read.parquet(sink)
+        assert sunk.count() > 0
+        assert sunk.count() == sunk.dropDuplicates(["url", "subj", "pred", "obj"]).count()
+        # parity with an uninterrupted run on the same input
+        clean_sink = str(tmp_path / "clean")
+        run_resumable(spark, pages, clean_sink)
+        clean = spark.read.parquet(clean_sink)
+        cols = ["url", "subj", "pred", "obj"]
+        assert sunk.select(cols).exceptAll(clean.select(cols)).count() == 0
+        assert clean.select(cols).exceptAll(sunk.select(cols)).count() == 0
+
     def test_empty_staging_dir_means_not_yet_written(self, spark, tmp_path):
         """A crash during the very FIRST append can leave the sink (or
         manifest) directory holding only _temporary: resume must treat

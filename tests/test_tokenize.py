@@ -121,3 +121,36 @@ class TestZhengProcess:
     def test_empty_text(self):
         res = zheng_process("")
         assert res.tokens == [] and res.mentions == []
+
+
+class TestDetectMentionsRaw:
+    def test_raw_offsets_slice_back_to_surface(self, spark):
+        """T4/D8 through the Arrow operator: raw offsets restored by
+        mentions_to_raw must slice the VERBATIM raw string back to the
+        detected surface (plus the reference's leading-separator
+        convention for non-initial tokens)."""
+        from qizner_spark.operators.mentions import detect_mentions_raw
+
+        def factory():
+            from qizner_spark.core.scoring import GazetteerScorer
+            from qizner_spark.gazetteer import GAZETTEER_SINGLE
+
+            return GazetteerScorer(GAZETTEER_SINGLE, token_deli=" ")
+
+        docs = spark.createDataFrame(
+            [(1, "hash join beats sort"), (2, "the spark table scan")],
+            ["doc_id", "text"],
+        )
+        rows = detect_mentions_raw(docs, factory).collect()
+        texts = {1: "hash join beats sort", 2: "the spark table scan"}
+        assert len(rows) >= 5
+        for r in rows:
+            text = texts[int(r["doc_key"])]
+            assert text[r["raw_start"]:r["raw_end"]] == r["raw_slice"]
+            # reference convention: dropped whitespace back-fills from
+            # the RIGHT, so non-initial tokens carry their LEADING
+            # separator in the raw span
+            assert r["raw_slice"].lstrip(" ") == r["mention"]
+        firsts = [r for r in rows if r["raw_start"] == 0]
+        assert all(r["raw_slice"] == r["mention"] for r in firsts)
+        assert any(r["raw_slice"] != r["mention"] for r in rows)
