@@ -589,6 +589,82 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (time-series): each click attaches the user's
+    latest purchase at-or-before it. Spark lacks the primitive; the
+    operator is the union+window formulation (two key shuffles, no
+    range-join pair explosion). Oracle: DuckDB's native ASOF JOIN."""
+    from qizner_spark.operators.relational import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join_backward(clicks, purchases, on="user_id", ts_col="ts",
+                             tiebreak="purchase_id")
+    return out.select(
+        "click_id", "user_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (user x event_type -> user -> grand total)
+    — the hypertable-rollup shape on the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("user_id", F.lit(-1)).alias("user_id"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the fact table joins a broadcast dimension
+    chain (region -> nation) while the fact-fact joins shuffle."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_asia = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -793,10 +869,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprints,
         # sampling (P1)
         "negative_sample": _negative_sample,
-        # relational view (§2.9: aggs, joins, windows, top-k)
+        # relational view (§2.9: aggs, joins, windows, top-k,
+        # as-of join, rollup)
         "events_sessions": _events_sessions,
+        "events_asof": _events_asof,
+        "events_rollup": _events_rollup,
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
+        "q5_region_revenue": _q5_region_revenue,
         # multi-token span detection + prob-greedy flatten (L3/L10)
         "full_mentions": _full_mentions,
         "flat_mentions": _flat_mentions,
@@ -1031,6 +1111,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS total_value
             FROM g GROUP BY user_id
+        """,
+        # as-of join: DuckDB's NATIVE ASOF JOIN is the oracle for the
+        # Spark union+window formulation (inclusive backward match)
+        "events_asof": """
+            WITH c AS (SELECT event_id AS click_id, user_id, ts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, event_id AS purchase_id, value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.click_id, c.user_id,
+                   coalesce(p.purchase_id, -1) AS purchase_id,
+                   coalesce(p.value, -1.0) AS purchase_value
+            FROM c ASOF LEFT JOIN p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_rollup": """
+            SELECT coalesce(user_id, -1) AS user_id,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS total_value
+            FROM events GROUP BY ROLLUP (user_id, event_type)
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

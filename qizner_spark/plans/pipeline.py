@@ -157,7 +157,14 @@ def build_kg(
     ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
 
     comp_side = F.broadcast(components) if broadcast_components else components
-    canon = linked.join(comp_side, "entity_id")
+    # ONE url-hash shuffle feeds the whole assembly: HashPartitioning
+    # on url satisfies every branch's ClusteredDistribution (their
+    # groupBy keys are url-supersets) AND the co-mention self-join on
+    # url, so no branch adds its own exchange — the three branches
+    # share this one shuffle as a ReusedExchange. Without it each
+    # branch re-shuffled the mention table independently (measured
+    # anti-scaling 9.6 s -> 16.0 s at local[4] -> local[16]).
+    canon = linked.join(comp_side, "entity_id").repartition(F.col("url"))
 
     # Branch-local aggregation replaces a global dropDuplicates over
     # the unioned triples: each branch groups on ITS OWN key while the
