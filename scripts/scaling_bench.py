@@ -41,17 +41,35 @@ def run_flagship(cpus: int, n_pages: int) -> dict:
                      {"SPARK_GRAFT_CPUS": cpus, "QIZNER_SCALING_PAGES": n_pages})
 
 
-def run_flagship_median(cpus: int, n_pages: int, n_runs: int) -> dict:
-    """Median-of-n docs/sec (fresh JVM each run): single runs on this
-    gVisor host vary enough that a one-off number is not evidence —
-    the r01 history recorded 0.67/0.82/0.67 across three single-run
-    regenerations of the same workload."""
-    runs = [run_flagship(cpus, n_pages) for _ in range(n_runs)]
-    runs.sort(key=lambda r: r["docs_per_sec"])
-    med = runs[len(runs) // 2]
-    med = dict(med)
+def _median_run(runs: list[dict]) -> dict:
+    runs = sorted(runs, key=lambda r: r["docs_per_sec"])
+    med = dict(runs[len(runs) // 2])
     med["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
     return med
+
+
+def run_flagship_interleaved(
+    low: int, high: int, n_pages: int, n_runs: int
+) -> tuple[dict, dict]:
+    """Median-of-n docs/sec per level, fresh JVM each run, levels
+    INTERLEAVED (low, high, low, high, ...).
+
+    Two separate noise sources on this gVisor host make anything less
+    rigorous worthless as evidence: (a) run-to-run variance (the r01
+    history recorded 0.67/0.82/0.67 across three single-run
+    regenerations — hence medians), and (b) multi-minute THROTTLING
+    WINDOWS: running all low-level runs then all high-level runs puts
+    the levels ~30 min apart, so one slow window hits a whole level
+    and biases the RATIO itself (observed: the same workload measured
+    0.80 and 0.70 in two back-to-back sequential-level sessions).
+    Interleaving places neighboring low/high runs minutes apart, so a
+    slow window degrades both levels roughly equally."""
+    lows: list[dict] = []
+    highs: list[dict] = []
+    for _ in range(n_runs):
+        lows.append(run_flagship(low, n_pages))
+        highs.append(run_flagship(high, n_pages))
+    return _median_run(lows), _median_run(highs)
 
 
 def main() -> None:
@@ -66,8 +84,7 @@ def main() -> None:
 
     n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "8000"))
     n_runs = int(os.environ.get("QIZNER_SCALING_RUNS", "3"))
-    flag_lo = run_flagship_median(low, n_pages, n_runs)
-    flag_hi = run_flagship_median(high, n_pages, n_runs)
+    flag_lo, flag_hi = run_flagship_interleaved(low, high, n_pages, n_runs)
     flag_eff = round((flag_hi["docs_per_sec"] / flag_lo["docs_per_sec"]) / ratio, 3)
 
     lo = run_bench(low, sf_dir)
@@ -111,7 +128,8 @@ def main() -> None:
         f"{flag_hi['n_triples']} triples)",
         f"- **scaling efficiency ({low} -> {high} cores): {flag_eff}** "
         f"(criterion >= 0.8, BASELINE.json; medians over {n_runs} fresh-JVM "
-        "runs per level)",
+        "runs per level, LEVELS INTERLEAVED so host throttling windows "
+        "hit both equally)",
         "",
         "## Small-SF headline suite (fixed-overhead dominated; shown for completeness)",
         "",
