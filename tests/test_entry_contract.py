@@ -15,10 +15,10 @@ class TestContractShape:
         q, o = entrymod.queries(), entrymod.oracle_sql()
         assert set(o) <= set(q)
         missing_oracle = set(q) - set(o)
-        # the only rows-only query: the multi-token-gazetteer flagship
-        # (prob-greedy span flattening isn't SQL-expressible; the
-        # single-token flagship kg_triples IS fully oracled)
-        assert missing_oracle == {"kg_triples_full"}
+        # permanent contract: EVERY driver query ships with a DuckDB
+        # oracle (round 3 closed the last rows-only query,
+        # kg_triples_full, with a recursive-CTE greedy-flatten oracle)
+        assert missing_oracle == set()
 
     def test_queries_are_callables(self):
         assert all(callable(f) for f in entrymod.queries().values())
