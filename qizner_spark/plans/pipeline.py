@@ -10,7 +10,7 @@ the KG stages (north_star):
       -> detect_mentions                           # one mapInPandas:
              tokenize (T1/T2) -> segment (D3) -> score -> decode (L6)
              -> in-worker segment merge (D5, NO shuffle) -> flatten (L10)
-      -> link entities (broadcast alias join)      # E5 dictionary
+      -> link entities (guarded alias join)        # E5 dictionary
       -> co-mention edges per url                  # self-join per doc
       -> connected components (large/small-star)   # canonicalization
       -> triples (subj, pred, obj, url, warc_ts, prob)
@@ -108,6 +108,7 @@ def build_kg(
     persist_intermediates: bool = True,
     salt_buckets: int | None = None,
     broadcast_components: bool = False,
+    broadcast_alias: bool | int = False,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every intermediate plus ``triples``.
 
@@ -126,7 +127,14 @@ def build_kg(
     broadcast-hash exactly when the side is genuinely under
     spark.sql.autoBroadcastJoinThreshold — the correct size estimate
     at every scale. Pass True only when the caller KNOWS the entity
-    dimension is bounded-small (e.g. a closed dictionary)."""
+    dimension is bounded-small (e.g. a closed dictionary).
+
+    ``broadcast_alias`` (default False): same doctrine for the alias
+    dictionary — the mention-surface vocabulary of an open corpus is
+    Zipfian-unbounded, so the link join is unhinted by default (AQE
+    decides); True force-broadcasts a KNOWN-bounded curated
+    dictionary; an int ``f`` takes the hybrid hot/cold path (see
+    :func:`~qizner_spark.operators.linking.link_mentions`)."""
     scorer_factory = scorer_factory or default_scorer_factory
 
     docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
@@ -146,7 +154,7 @@ def build_kg(
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 
     alias = build_alias_dictionary(mentions)
-    linked = link_mentions(mentions, alias)
+    linked = link_mentions(mentions, alias, broadcast_alias=broadcast_alias)
 
     from qizner_spark.operators.graph import DEFAULT_SALT_BUCKETS
 

@@ -126,3 +126,26 @@ class TestLinking:
                for r in count_unlabeled_occurrences(docs, alias).collect()}
         assert got["join"] == (2, -1)  # 2 in text, 3 labeled
         assert got["table"] == (1, 0)
+
+    def test_unlabeled_counts_match_str_count_incl_self_overlap(self, spark):
+        """The Aho-Corasick pass must reproduce str.count semantics
+        exactly — including NON-overlapping counting of self-
+        overlapping patterns ('aaaa'.count('aa') == 2, not 3) and
+        substring hits inside longer words."""
+        texts = ["aaaa baab", "the joiner joins join", "aa ja aj"]
+        surfaces = ["aa", "join", "ja"]
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        alias = spark.createDataFrame(
+            [(s, "T", f"kb:T:{s}", 1) for s in surfaces],
+            ["mention", "ent_type", "entity_id", "freq"],
+        )
+        got = {r["mention"]: r["total_occurrences"]
+               for r in count_unlabeled_occurrences(docs, alias).collect()}
+        want = {s: sum(t.count(s) for t in texts) for s in surfaces}
+        assert got == want
+
+    def test_unlabeled_dictionary_size_guard(self, spark, mentions):
+        docs = spark.createDataFrame([("u1", "x")], ["url", "text"])
+        alias = build_alias_dictionary(mentions)
+        with pytest.raises(ValueError, match="curated-dictionary"):
+            count_unlabeled_occurrences(docs, alias, max_surfaces=1)

@@ -8,10 +8,12 @@ Rules encoded here:
     deliberately-exact baseline that broadcasts a bounded query set;
     every scale-path operator (ANN, fuzzy dedup, linking, flagship)
     must be equi-join only.
-  * Small-dimension joins the code hints (alias dictionary, ANN query
-    side) must actually plan as ``BroadcastHashJoin``.
-  * The components join is UNHINTED by default (AQE decides); with
-    ``broadcast_components=True`` it must become a broadcast join.
+  * Small-dimension joins the code hints (ANN query side) must
+    actually plan as ``BroadcastHashJoin``.
+  * The components join AND the alias-dictionary join are UNHINTED by
+    default (AQE decides); their ``broadcast_*`` flags must actually
+    add the hint when forced (no dead flags), and the hybrid alias
+    hot/cold path must stay equi-join only.
 
 Plans are inspected AFTER an action so AQE's runtime replanning is
 final (the string still contains the initial plan as a subtree, so
@@ -38,6 +40,10 @@ def plans(spark, sf_dir):
     names = [
         "ner_mentions", "comention_edges", "ann_topk", "minhash_dedup",
         "simhash_dedup", "embedding_near_dup", "similarity_topk", "kg_triples",
+        # round-3 join-bearing queries: the as-of join especially — its
+        # whole point is NOT planning a BNLJ range join
+        "events_asof", "events_rollup", "q5_region_revenue",
+        "raw_offset_mentions",
     ]
     return {n: final_plan(qs[n](spark, sf_dir)) for n in names}
 
@@ -73,19 +79,78 @@ class TestIntendedBroadcasts:
         plan = plans["kg_triples"]
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # alias-dictionary joins are hinted broadcast
+        # at sandbox scale AQE converts the small joins to broadcast
         assert "BroadcastHashJoin" in plan
 
-    def test_alias_join_is_broadcast(self, spark, sf_dir):
-        from qizner_spark.operators.linking import build_alias_dictionary, link_mentions
-        from pyspark.sql import functions as F
-        import __spark_entry__ as em
+    def test_asof_join_is_not_pair_enumeration(self, plans):
+        """asof_join_backward is union + one window pass — a range
+        condition naively joined would plan BNLJ/cartesian."""
+        plan = plans["events_asof"]
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
 
-        mentions = em.queries()["ner_mentions"](spark, sf_dir).withColumn(
-            "url", F.col("doc_id").cast("string")
-        )
-        linked = link_mentions(mentions, build_alias_dictionary(mentions))
-        assert "BroadcastHashJoin" in final_plan(linked)
+
+def _alias_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+    import __spark_entry__ as em
+
+    from qizner_spark.operators.linking import build_alias_dictionary
+
+    mentions = em.queries()["ner_mentions"](spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string")
+    )
+    return mentions, build_alias_dictionary(mentions)
+
+
+class TestAliasBroadcastGuard:
+    """Mirror of TestComponentsBroadcastGuard for the alias
+    dictionary: an open-corpus surface vocabulary is Zipfian-unbounded,
+    so link_mentions must not carry an unconditional broadcast hint."""
+
+    def test_parity_across_strategies(self, spark, sf_dir):
+        from qizner_spark.operators.linking import link_mentions
+
+        mentions, alias = _alias_fixture(spark, sf_dir)
+        cols = ["doc_id", "pos", "mention", "ent_type", "entity_id"]
+        base = link_mentions(mentions, alias).select(cols)
+        for strategy in (True, 2):  # forced broadcast; hybrid floor=2
+            other = link_mentions(mentions, alias, broadcast_alias=strategy).select(cols)
+            assert base.exceptAll(other).count() == 0, strategy
+            assert other.exceptAll(base).count() == 0, strategy
+
+    def test_default_is_unhinted(self, spark, sf_dir):
+        from qizner_spark.operators.linking import link_mentions
+
+        mentions, alias = _alias_fixture(spark, sf_dir)
+
+        def count_hints(df) -> int:
+            return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+        def hints(**kw) -> int:
+            return count_hints(link_mentions(mentions, alias, **kw))
+
+        # the INPUTS legitimately hint the bounded literal gazetteer;
+        # the default link join itself must add none on top of them
+        input_hints = count_hints(mentions) + count_hints(alias)
+        assert hints() == input_hints, "default link join added a broadcast hint"
+        assert hints(broadcast_alias=True) == input_hints + 1, \
+            "broadcast_alias=True is a dead flag"
+        # hybrid: adds hot-head hint(s) only (subtree duplication in
+        # the analyzed string makes the exact count brittle); the
+        # cold tail staying a plain equi-join is covered by the
+        # no-BNLJ plan test below
+        assert hints(broadcast_alias=2) > input_hints
+
+    def test_hybrid_plans_no_bnlj_and_default_still_broadcasts_via_aqe(self, spark, sf_dir):
+        from qizner_spark.operators.linking import link_mentions
+
+        mentions, alias = _alias_fixture(spark, sf_dir)
+        default_plan = final_plan(link_mentions(mentions, alias))
+        # tiny dictionary: AQE's size stats still pick broadcast-hash
+        assert "BroadcastHashJoin" in default_plan
+        hybrid_plan = final_plan(link_mentions(mentions, alias, broadcast_alias=2))
+        assert "BroadcastNestedLoopJoin" not in hybrid_plan
+        assert "CartesianProduct" not in hybrid_plan
 
 
 class TestComponentsBroadcastGuard:
