@@ -339,6 +339,21 @@ def _entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unlabeled_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary diagnostic (reference 没有标注 counter,
+    datautils.py:2390-2404): per surface, total corpus substring
+    occurrences vs labeled mentions. ONE Aho-Corasick pass per
+    document — runtime independent of dictionary size."""
+    from qizner_spark.operators.linking import (
+        build_alias_dictionary,
+        count_unlabeled_occurrences,
+    )
+
+    docs = _documents(spark, sf_dir)
+    alias = build_alias_dictionary(_ner_mentions(spark, sf_dir))
+    return count_unlabeled_occurrences(docs, alias)
+
+
 def _type_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 type merge: OP/EXEC -> OPERATOR, STRUCT -> SCHEMA."""
     m = _ner_mentions(spark, sf_dir)
@@ -726,6 +741,50 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "nbr_id", "rank")
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall GATE for the approximate retrieval family: hits@10 of
+    the LSH multiprobe ANN against the exact brute-force top-10, per
+    query over 50 queries. Measures the approximation's QUALITY, not
+    just its spec — the analog of the reference's
+    predict-vs-fast_predict quality sweep (train_ner.py:1136-1191).
+    Probe depth 3 is the recall>=0.9 configuration ON THIS
+    near-orthogonal testdata (full recall/cost sweep:
+    BENCH/RECALL.md); planted near-dups reach recall ~1 at depth 1
+    (tests/test_recall.py)."""
+    from qizner_spark.operators.similarity import ann_topk, brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+    ann = ann_topk(emb, queries, k=10, n_planes=4, dim=64,
+                   multiprobe_bits=3).select("query_id", "nbr_id")
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "nbr_id")
+    hits = exact.join(ann, ["query_id", "nbr_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_at_10")
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("hits_at_10", F.lit(0)).alias("hits_at_10"))
+    )
+
+
+def _near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the hyperplane-bucketed near-dup candidate rule
+    against the EXACT cosine-threshold pair set (one summary row:
+    n_exact / n_candidates / n_hits)."""
+    from qizner_spark.operators.dedup import embedding_near_dup_pairs
+    from qizner_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = exact_cosine_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    cand = embedding_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4,
+                                    max_hamming=3).select("id_a", "id_b")
+    hit = exact.join(cand, ["id_a", "id_b"])
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow decode UDF -> scalar columns only: the driver's
     canonicalizer sorts a pandas frame, so ARRAY columns (unhashable
@@ -844,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG stages (E5, linking, L15, CC)
         "alias_dictionary": _alias_dictionary,
         "entity_linking": _entity_linking,
+        "unlabeled_occurrences": _unlabeled_occurrences,
         "type_convert": _type_convert,
         "comention_edges": _comention_edges,
         "connected_components": _connected_components,
@@ -862,6 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_topk": _similarity_topk,
         "ann_topk": _ann_topk,
+        # recall gates: approximate retrieval vs its exact baseline
+        "ann_recall": _ann_recall,
+        "near_dup_recall": _near_dup_recall,
         # text analysis
         "token_counts": _token_counts,
         "lang_id": _lang_id,
@@ -917,6 +980,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'kb:' || ent_type || ':' || lower(mention) AS entity_id,
                    count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
             FROM m GROUP BY 1
+        """,
+        "unlabeled_occurrences": f"""
+            WITH toks AS ({toks}),
+            m AS (SELECT t.doc_id, t.mention FROM toks t JOIN {gaz} USING (mention)),
+            labeled AS (SELECT mention, count(*) AS labeled FROM m GROUP BY 1),
+            tot AS (SELECT l.mention,
+                           CAST(sum((length(d.text) - length(replace(d.text, l.mention, '')))
+                                    // length(l.mention)) AS BIGINT) AS total_occurrences
+                    FROM (SELECT DISTINCT mention FROM labeled) l
+                    CROSS JOIN documents d
+                    GROUP BY 1)
+            SELECT l.mention,
+                   coalesce(t.total_occurrences, 0) AS total_occurrences,
+                   l.labeled,
+                   coalesce(t.total_occurrences, 0) - l.labeled AS unlabeled
+            FROM labeled l LEFT JOIN tot t USING (mention)
         """,
         "type_convert": f"""
             WITH toks AS ({toks}),
@@ -1219,6 +1298,67 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY cosine DESC, nbr_id ASC) AS rank
                        FROM scored)
             SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_recall": f"""
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                         {_hyperplane_bucket_sql("v")} AS bucket
+                  FROM v),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb
+                  FROM n WHERE vec_id < 50),
+            exact_scored AS (
+                SELECT q.query_id, c.vec_id AS nbr_id,
+                       list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+                           / (q.qn * c.nrm) AS cosine
+                FROM q JOIN n c ON c.vec_id != q.query_id),
+            exact_top AS (
+                SELECT query_id, nbr_id FROM (
+                    SELECT query_id, nbr_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+                    FROM exact_scored) WHERE rank <= 10),
+            ann_scored AS (
+                SELECT q.query_id, c.vec_id AS nbr_id,
+                       list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+                           / (q.qn * c.nrm) AS cosine
+                FROM q JOIN n c
+                ON bit_count(xor(CAST(q.qb AS BIGINT), CAST(c.bucket AS BIGINT))) <= 3
+                   AND c.vec_id != q.query_id),
+            ann_top AS (
+                SELECT query_id, nbr_id FROM (
+                    SELECT query_id, nbr_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+                    FROM ann_scored) WHERE rank <= 10),
+            hits AS (SELECT e.query_id, count(*) AS hits_at_10
+                     FROM exact_top e JOIN ann_top a USING (query_id, nbr_id)
+                     GROUP BY 1)
+            SELECT qq.query_id, coalesce(h.hits_at_10, 0) AS hits_at_10
+            FROM (SELECT DISTINCT query_id FROM exact_top) qq
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "near_dup_recall": f"""
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                         {_hyperplane_bucket_sql("v")} AS bucket
+                  FROM v),
+            exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM n a JOIN n b ON a.vec_id < b.vec_id
+                      WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                            / (a.nrm * b.nrm) >= 0.35),
+            cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM n a JOIN n b
+                     ON a.vec_id < b.vec_id
+                        AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 3
+                     WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                           / (a.nrm * b.nrm) >= 0.35)
+            SELECT (SELECT count(*) FROM exact) AS n_exact,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM exact JOIN cand USING (id_a, id_b)) AS n_hits
         """,
         # the WHOLE flagship chain (pages synthesis -> gazetteer
         # detection -> alias linking -> per-url co-mention edges ->

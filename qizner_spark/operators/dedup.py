@@ -322,19 +322,24 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int | None = None, n_planes: int = 4, seed: int = 23,
+    dim: int | None = None, n_planes: int = 4, seed: int = 23, max_hamming: int = 1,
 ) -> DataFrame:
     """Pairs with cosine >= threshold, candidate-blocked by random
     hyperplane LSH: exact cosine is verified only for pairs whose
-    sign-bit buckets are within Hamming distance 1 (same bucket or a
-    single plane apart — the symmetric form of ann_topk's 1-bit
-    multiprobe). The join is an equi-join on the probe bucket, never
-    a cross join — the 100 TB shape. True near-dups (cosine ~1) agree
-    on every plane w.h.p.; recall for borderline pairs grows with
-    fewer planes / more probes.
+    sign-bit buckets are within Hamming distance ``max_hamming`` (the
+    symmetric form of ann_topk's multiprobe). The join is an
+    equi-join on the probe bucket, never a cross join — the 100 TB
+    shape. True near-dups (cosine ~1) agree on every plane w.h.p.
+    (recall ~1 at max_hamming=1, tests/test_recall.py); recall for
+    BORDERLINE pairs grows with max_hamming at the measured
+    candidate-fraction cost in BENCH/RECALL.md.
 
     Pass ``dim`` to keep the plan lazy (else a first() infers it)."""
-    from qizner_spark.operators.similarity import hyperplane_signature, with_norm
+    from qizner_spark.operators.similarity import (
+        hyperplane_signature,
+        probe_masks,
+        with_norm,
+    )
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -342,10 +347,11 @@ def embedding_near_dup_pairs(
         with_norm(emb.select(F.col(id_col).alias("id"), vec_col), vec_col),
         dim, n_planes, "v", seed,
     ).select("id", "v", "norm", "bucket")
-    # each row also probes its 1-bit-flip buckets; pair (a, b) with
-    # hamming(bucket_a, bucket_b) <= 1 meets on b's true bucket
+    # each row also probes its bit-flip buckets; pair (a, b) with
+    # hamming(bucket_a, bucket_b) <= max_hamming meets on b's bucket
     probes = [F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        F.col("bucket").bitwiseXOR(F.lit(m))
+        for m in probe_masks(n_planes, max_hamming)
     ]
     a = v.withColumn("probe", F.explode(F.array(*probes))).alias("a")
     b = v.alias("b")

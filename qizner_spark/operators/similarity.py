@@ -52,6 +52,36 @@ def brute_force_topk(
     )
 
 
+def exact_cosine_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding", max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """ALL pairs with cosine >= threshold, computed exactly by
+    broadcasting one side — the ground-truth twin of
+    :func:`brute_force_topk`, used as the RECALL oracle for the
+    LSH-bucketed candidate rules (embedding_near_dup / ann_topk).
+    Deliberately O(n^2): measurement-only at bounded n (asserted),
+    never a scale path."""
+    n = emb.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is a recall-measurement baseline; {n} rows "
+            f"> {max_broadcast_rows} would broadcast an unbounded side"
+        )
+    a = with_norm(emb.select(F.col(id_col).alias("id_a"), vec_col), vec_col) \
+        .select("id_a", F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = with_norm(emb.select(F.col(id_col).alias("id_b"), vec_col), vec_col) \
+        .select("id_b", F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    return (
+        a.join(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(dot) / (F.col("an") * F.col("bn")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 8,
                          vec_col: str = "embedding", seed: int = 23) -> DataFrame:
     """Sign-bit LSH signature as a NATIVE expression: the seeded
@@ -70,15 +100,33 @@ def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", F.expr(" + ".join(terms)).cast("int"))
 
 
+def probe_masks(n_planes: int, bits: int) -> list[int]:
+    """All non-zero XOR masks with popcount <= bits: the query visits
+    every bucket within Hamming distance ``bits`` of its own."""
+    from itertools import combinations
+
+    masks = []
+    for b in range(1, bits + 1):
+        for idxs in combinations(range(n_planes), b):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def ann_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 6,
     multiprobe_bits: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "vec_id", seed: int = 23, dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates sharing an LSH bucket
-    with the query (plus single-bit-flip probe buckets). Recall grows
-    with multiprobe_bits/n_planes; the scored pair count drops from
-    |Q|x|C| to bucket-local.
+    """Approximate top-k: score only candidates within Hamming
+    distance ``multiprobe_bits`` of the query's LSH bucket. Recall
+    grows with multiprobe_bits (and falls with n_planes); the scored
+    pair count drops from |Q|x|C| to bucket-local. The measured
+    recall/scan-fraction tradeoff on near-orthogonal embeddings is
+    recorded in BENCH/RECALL.md and gated by the ``ann_recall``
+    driver query + tests/test_recall.py.
 
     Pass ``dim`` to keep the plan fully lazy (else a driver-side
     first() action infers it mid-plan)."""
@@ -93,9 +141,10 @@ def ann_topk(
         n_planes, vec_col, seed,
     ).select("query_id", F.col("v").alias("qv"), F.col("norm").alias("qn"), "bucket")
     # multi-probe: query also visits buckets at Hamming distance <= bits
-    probes = [F.col("bucket")]
-    if multiprobe_bits >= 1:
-        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(m))
+        for m in probe_masks(n_planes, multiprobe_bits)
+    ]
     q = q.withColumn("probe", F.explode(F.array(*probes)))
     dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     scored = (
