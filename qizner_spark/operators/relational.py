@@ -40,18 +40,30 @@ def asof_join_backward(
     they keep their names, so rename on the right side beforehand if
     they collide with left columns. Left rows with no prior right row
     carry nulls. ``tiebreak`` optionally orders right rows that share
-    a timestamp (last one wins deterministically)."""
+    a timestamp (last one wins deterministically; must be a payload
+    column).
+
+    The payload travels as ONE struct through a single
+    ``last(ignorenulls)`` window, so every attached column comes from
+    the SAME right row even when a right row legitimately carries
+    NULL in one payload field (per-column ``last`` would mix fields
+    from different right rows)."""
+    from pyspark.sql.types import StructField, StructType
+
     payload = payload or [c for c in right.columns if c not in (on, ts_col)]
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns collide with left columns: {sorted(clash)}")
+    if tiebreak and tiebreak not in payload:
+        raise ValueError(f"tiebreak column {tiebreak!r} must be in the payload")
 
     right_types = {f.name: f.dataType for f in right.schema.fields}
     left_types = {f.name: f.dataType for f in left.schema.fields}
+    payload_t = StructType([StructField(p, right_types[p]) for p in payload])
 
     l2 = left.select(
         *left.columns,
-        *[F.lit(None).cast(right_types[p]).alias(p) for p in payload],
+        F.lit(None).cast(payload_t).alias("_asof_p"),
         F.lit(1).alias("_is_left"),
     )
     r2 = right.select(
@@ -59,7 +71,7 @@ def asof_join_backward(
             (F.col(c) if c in (on, ts_col) else F.lit(None).cast(left_types[c])).alias(c)
             for c in left.columns
         ],
-        *payload,
+        F.struct(*payload).alias("_asof_p"),
         F.lit(0).alias("_is_left"),
     )
     u = l2.unionByName(r2)
@@ -68,12 +80,17 @@ def asof_join_backward(
         # right rows sharing a timestamp: make "last wins"
         # deterministic (after _is_left so equal-ts rights still sort
         # before lefts — inclusive match preserved)
-        order.append(F.when(F.col("_is_left") == 0, F.col(tiebreak)).asc_nulls_first())
+        order.append(
+            F.when(F.col("_is_left") == 0, F.col("_asof_p").getField(tiebreak))
+            .asc_nulls_first()
+        )
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for p in payload:
-        u = u.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    return u.where(F.col("_is_left") == 1).drop("_is_left")
+    u = u.withColumn("_asof_p", F.last("_asof_p", ignorenulls=True).over(w))
+    return u.where(F.col("_is_left") == 1).select(
+        *left.columns,
+        *[F.col("_asof_p").getField(p).alias(p) for p in payload],
+    )

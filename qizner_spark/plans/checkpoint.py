@@ -32,6 +32,22 @@ Crash analysis (see tests/test_streaming_resume.py):
   * after PUBLISH: fully committed.
 Because the manifest covers zero-triple urls too, nothing is ever
 reprocessed after a successful commit (the pre-round-3 residue).
+
+Pre-protocol sinks (data directly under ``subj_bucket=...`` with no
+``run_id=`` level) need a ONE-TIME migration before resuming under
+this protocol: move the old data under a synthetic
+``run_id=legacy`` directory (one rename) — otherwise the mixed
+partition layouts break parquet partition discovery on the sink
+read. Legacy MANIFESTS (no ``run_id`` column) need no migration:
+:func:`_manifest_run_ids` reads with mergeSchema and treats a
+missing/null run_id as "no staged commits", which is correct —
+pre-protocol writes were never staged.
+
+The staging/publish renames are driver-local filesystem operations;
+:func:`run_resumable` and :func:`recover_sink` REFUSE non-local sink
+URIs (s3a://, hdfs://) loudly. The production swap is the Hadoop
+FileSystem API (or a real Iceberg catalog) behind the same three
+steps.
 """
 
 from __future__ import annotations
@@ -47,6 +63,23 @@ from pyspark.errors import AnalysisException
 
 class SimulatedCrash(RuntimeError):
     """Raised by the test-only crash hooks in :func:`run_resumable`."""
+
+
+def _assert_local_sink(path: str) -> None:
+    """The staging/publish steps use driver-local rename/rmtree; on a
+    remote URI they would silently no-op against a nonexistent local
+    path while the Spark writes go to the remote store — half-running
+    the protocol. Fail loudly instead."""
+    import re
+
+    m = re.match(r"^([a-z][a-z0-9+.-]*)://", path)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"resumable sink must be a local path (got scheme "
+            f"'{m.group(1)}://'): the commit protocol's rename/cleanup "
+            f"steps are driver-local; route them through the Hadoop "
+            f"FileSystem API before pointing at {m.group(1)}://"
+        )
 
 
 def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | None:
@@ -74,9 +107,12 @@ def processed_keys(spark: SparkSession, sink_path: str, key: str = "url") -> Dat
     """Keys already processed = manifest keys UNION sink keys.
 
     Under the staged protocol the manifest alone is authoritative
-    (data publishes only after the manifest commit), but the union
-    keeps resume correct for pre-protocol sinks and for a manually
-    damaged manifest. None when neither exists yet."""
+    (data publishes only after the manifest commit); the union also
+    covers a manually damaged/deleted manifest, and a pre-protocol
+    sink AFTER its one-time layout migration (see module docstring —
+    legacy data must move under a synthetic ``run_id=legacy`` dir, or
+    the mixed partition layouts fail parquet discovery here). None
+    when neither exists yet."""
     manifest = _keys_if_exists(spark, f"{sink_path}_processed", key)
     sink = _keys_if_exists(spark, sink_path, key)
     if manifest is None:
@@ -94,10 +130,24 @@ def pending_only(pages: DataFrame, done: DataFrame | None, key: str = "url") -> 
 
 
 def _manifest_run_ids(spark: SparkSession, sink_path: str) -> set[str]:
-    df = _keys_if_exists(spark, f"{sink_path}_processed", "run_id")
-    if df is None:
+    """run_ids recorded in the manifest. Read with mergeSchema so a
+    manifest that mixes pre-protocol files (no run_id column) with
+    staged-commit files still surfaces the column; a manifest with no
+    run_id column at all means no staged commit ever happened (legacy
+    writes were never staged), so there is nothing to roll forward."""
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(f"{sink_path}_processed")
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+                or "UNABLE_TO_INFER_SCHEMA" in str(e)):
+            return set()
+        raise
+    if "run_id" not in df.columns:
         return set()
-    return {r["run_id"] for r in df.collect()}
+    return {
+        r["run_id"]
+        for r in df.select("run_id").where(F.col("run_id").isNotNull()).distinct().collect()
+    }
 
 
 def recover_sink(spark: SparkSession, sink_path: str) -> dict:
@@ -105,6 +155,7 @@ def recover_sink(spark: SparkSession, sink_path: str) -> dict:
     :func:`run_resumable` does). Committed-but-unpublished run_ids
     are rolled FORWARD (finish the rename); unmanifested staging
     dirs are rolled BACK (deleted). Returns counts for observability."""
+    _assert_local_sink(sink_path)
     staging_root = os.path.join(sink_path, "_staging")
     if not os.path.isdir(staging_root):
         return {"rolled_forward": 0, "rolled_back": 0}
@@ -138,6 +189,7 @@ def run_resumable(
     suite; never set it in production."""
     from qizner_spark.plans.pipeline import build_kg
 
+    _assert_local_sink(sink_path)
     recovered = recover_sink(spark, sink_path)
     done = processed_keys(spark, sink_path)
     todo = pending_only(pages, done)

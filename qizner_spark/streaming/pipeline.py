@@ -92,6 +92,13 @@ def stream_sessionize_events(
     function, so set ``watermark`` to the real out-of-orderness
     bound of the feed; and the trailing open session per user emits
     only once a later event pushes the watermark past it.
+
+    CHECKPOINT COMPATIBILITY: round 3 changed the state schema from
+    scalar (start, last, n, total) to the parallel-array candidate
+    lists above. Streaming state is schema-bound — a query restarted
+    from a checkpoint written by the pre-round-3 sessionizer will
+    fail or misread its state; use a FRESH ``checkpoint_dir`` (and
+    reprocess the source) when upgrading across that boundary.
     """
     import pandas as pd
     from pyspark.sql import functions as F

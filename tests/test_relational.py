@@ -60,6 +60,29 @@ class TestAsofJoin:
                 on="k", ts_col="t",
             )
 
+    def test_null_payload_field_stays_row_consistent(self, spark):
+        """A right row carrying NULL in one payload column must NOT
+        have that column back-filled from an EARLIER right row — all
+        payload columns come from the same (latest) right row."""
+        left = spark.createDataFrame([(1, 1, 300)], ["lid", "k", "t"])
+        right = spark.createDataFrame(
+            [(10, 1.5, 1, 100), (11, None, 1, 200)],
+            "rid long, val double, k long, t long",
+        )
+        rows = asof_join_backward(
+            left, right.select("k", "t", "rid", "val"), on="k", ts_col="t"
+        ).collect()
+        assert len(rows) == 1
+        # latest right row is rid=11 whose val is legitimately NULL;
+        # mixing would yield (rid=11, val=1.5)
+        assert rows[0]["rid"] == 11 and rows[0]["val"] is None
+
+    def test_tiebreak_must_be_payload(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="tiebreak"):
+            asof_join_backward(left, right.select("k", "t", "rid"),
+                               on="k", ts_col="t", tiebreak="nope")
+
     def test_equal_ts_tiebreak_last_wins(self, spark):
         left = spark.createDataFrame([(1, 1, 100)], ["lid", "k", "t"])
         right = spark.createDataFrame(

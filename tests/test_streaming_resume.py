@@ -212,6 +212,38 @@ class TestResume:
     def test_processed_keys_missing_sink(self, spark, tmp_path):
         assert processed_keys(spark, str(tmp_path / "nope")) is None
 
+    def test_remote_sink_uri_rejected_loudly(self, spark, sf_dir):
+        """Driver-local rename/rmtree would silently no-op against a
+        remote store — the protocol must refuse, not half-run."""
+        import pytest as _pytest
+
+        from qizner_spark.plans.checkpoint import recover_sink
+
+        pages = pages_from_documents(spark, sf_dir)
+        with _pytest.raises(ValueError, match="local path"):
+            run_resumable(spark, pages, "s3a://bucket/triples")
+        with _pytest.raises(ValueError, match="local path"):
+            recover_sink(spark, "hdfs://nn/triples")
+
+    def test_legacy_manifest_without_run_id_is_tolerated(self, spark, sf_dir, tmp_path):
+        """A pre-protocol manifest (url only, no run_id column) means
+        no staged commit ever happened: recovery must roll staged dirs
+        BACK (not crash), and resume must still honor the legacy urls."""
+        import os
+
+        from qizner_spark.plans.checkpoint import recover_sink
+
+        pages = pages_from_documents(spark, sf_dir).limit(10)
+        sink = str(tmp_path / "triples")
+        legacy_urls = pages.select("url").limit(4)
+        legacy_urls.write.parquet(f"{sink}_processed")  # url-only manifest
+        # an unmanifested staged dir from a crashed pre-commit run
+        os.makedirs(os.path.join(sink, "_staging", "deadbeef"))
+        rec = recover_sink(spark, sink)
+        assert rec == {"rolled_forward": 0, "rolled_back": 1}
+        m = run_resumable(spark, pages, sink)
+        assert m["n_pending"] == 6  # 4 legacy urls honored, not reprocessed
+
     def test_crash_between_data_and_manifest_no_duplicates(self, spark, sf_dir, tmp_path):
         """Simulate a crash AFTER the triples append but BEFORE the
         manifest append: the manifest dir is deleted. The rerun must
