@@ -154,3 +154,18 @@ class TestPages:
         BatchEvalPython / ArrowEvalPython nodes)."""
         plan = with_extracted_text(synthetic_pages(spark, 10))._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+    def test_kernel_control_text_replica_is_byte_identical(self, spark):
+        """scripts/kernel_control.py claims to score the IDENTICAL
+        text the Spark flagship scores — guard the pure-python replica
+        against drift in the synthetic_pages word expression."""
+        import sys
+
+        if "/root/repo" not in sys.path:
+            sys.path.insert(0, "/root/repo")
+        from scripts.kernel_control import page_text
+
+        rows = synthetic_pages(spark, 30, words_per_page=40).select("url", "text").collect()
+        for r in rows:
+            pid = int(r["url"].rsplit("/", 1)[1])
+            assert r["text"] == page_text(pid, 40), f"page {pid} drifted"
