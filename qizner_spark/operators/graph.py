@@ -6,12 +6,13 @@ with plain DataFrame ops — no GraphFrames dependency. Converges in
 O(log n) rounds; each round is two shuffles.
 
 Skew notes (explicit, per north_rule):
-  * per-node neighborhood minima are SALTED two-phase aggregates: a
-    hub entity with 10^8 neighbors splits into ``salt_buckets``
-    deterministic sub-keys (pmod(xxhash64(dst))) before any single
-    reducer sees it; the min is re-attached through a salt-replicated
-    equi-join, so the hot node's rows spread over ``salt_buckets``
-    partitions instead of one;
+  * per-node neighborhood minima are HOT-KEY-SALTED two-phase
+    aggregates: keys whose neighborhood meets ``hot_threshold`` rows
+    split into ``salt_buckets`` deterministic sub-keys
+    (pmod(xxhash64(dst))) before any single reducer sees them, and
+    only their minima replicate across buckets for the re-attach
+    equi-join — cold keys pay nothing (measured: salting everything
+    cost 16x|nodes| extra shuffled rows per round, BENCH/SKEW.md);
   * ``salt_buckets=1`` falls back to a window min (one shuffle, fine
     for moderate skew under AQE) — both paths return identical rows;
   * lineage is cut with localCheckpoint each round so the iterative
@@ -24,38 +25,81 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_SALT_BUCKETS = 16
 
+#: A src key whose (symmetrized) neighborhood meets this row count is
+#: "hot" and gets salted; everything else takes the plain two-phase
+#: path. Scale note: the hot SET is bounded by total_rows /
+#: hot_threshold keys — raise the threshold with data volume so the
+#: broadcast of the hot set stays small (at 10^12 edge rows, 5x10^4
+#: would admit up to 2x10^7 keys; use 10^6+ there).
+DEFAULT_HOT_THRESHOLD = 50_000
 
-def _with_neighborhood_min(df: DataFrame, salt_buckets: int) -> DataFrame:
+
+def _with_neighborhood_min(
+    df: DataFrame, salt_buckets: int,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    hot_sample_frac: float = 0.01,
+) -> DataFrame:
     """Attach ``m`` = min(src, min(dst) over rows sharing src).
 
-    salt_buckets > 1: explicit hub-key salting — phase 1 groups on
-    (src, salt) so map-side combine + 'salt_buckets'-way split bound
-    any reducer's share of a hub node; phase 2 folds the per-salt
-    minima (tiny); the re-attach join keys on (src, salt) so the hub's
-    edge rows also never land in one partition. Deterministic salt
-    (hash of dst), no rand(): identical results across retries.
+    salt_buckets > 1: HOT-KEY-ONLY salting, priced so cold keys pay
+    nothing and hot keys pay almost nothing:
+
+    * detection — a seeded ``hot_sample_frac`` sample counted per key
+      (a 10^8-row hub shows up in any sample; a marginally-hot key
+      that sampling misses just takes the cold path, which is merely
+      its straggler risk, never a correctness issue). The sample is
+      skipped when ``hot_threshold`` is too small for it to resolve.
+    * cold keys — the plain per-key window min, now WITHOUT the hub
+      rows in the partition (the straggler is gone from this path).
+    * hot keys — two-phase min over (src, pmod(xxhash64(dst), k)):
+      the groupBy's map-side combine collapses each partition's hub
+      rows to <= k partials, so the shuffle moves ~k x partitions
+      rows; the per-src fold is tiny and re-attaches via BROADCAST
+      (bounded by the hot-key count).
+
+    Round-4 history (BENCH/SKEW.md): replicate-every-key salting cost
+    16x|nodes| extra shuffled rows per round (5-6x wall at 3x10^6
+    nodes); an unsampled count pass + shuffle-join re-attach still
+    cost 2-4x. Deterministic sampling + salt, no rand(): identical
+    results across retries.
     """
     if salt_buckets <= 1:
         w = Window.partitionBy("src")
         return df.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)))
-    partial = salted.groupBy("src", "_salt").agg(F.min("dst").alias("_pm"))
-    mins = partial.groupBy("src").agg(F.min("_pm").alias("_mn"))
-    replicated = mins.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    # sample only when the threshold is big enough for a 1% sample to
+    # see >= ~50 rows of a borderline-hot key; else count exactly
+    use_sample = hot_threshold * hot_sample_frac >= 50
+    probe = df.sample(hot_sample_frac, seed=7) if use_sample else df
+    cutoff = max(1, int(hot_threshold * (hot_sample_frac if use_sample else 1.0) / 2))
+    hot = (
+        probe.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= cutoff)
+        .select("src", F.lit(1).alias("_hot"))
     )
-    return (
-        salted.join(replicated, ["src", "_salt"])
+    tagged = df.join(F.broadcast(hot), "src", "left")
+    cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
+    hot_rows = tagged.where(F.col("_hot").isNotNull()).drop("_hot")
+    w = Window.partitionBy("src")
+    cold_min = cold.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    mins = (
+        hot_rows.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)))
+        .groupBy("src", "_salt").agg(F.min("dst").alias("_pm"))
+        .groupBy("src").agg(F.min("_pm").alias("_mn"))
+    )
+    hot_min = (
+        hot_rows.join(F.broadcast(mins), "src")
         .withColumn("m", F.least(F.col("src"), F.col("_mn")))
-        .drop("_salt", "_mn")
+        .drop("_mn")
     )
+    return cold_min.unionByName(hot_min)
 
 
-def _large_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+def _large_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                hot_threshold: int = DEFAULT_HOT_THRESHOLD) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's minimum
     neighborhood label min(N(u) ∪ {u})."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    with_min = _with_neighborhood_min(sym, salt_buckets)
+    with_min = _with_neighborhood_min(sym, salt_buckets, hot_threshold)
     return (
         with_min.where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -63,13 +107,14 @@ def _large_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> D
     )
 
 
-def _small_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+def _small_star(edges: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                hot_threshold: int = DEFAULT_HOT_THRESHOLD) -> DataFrame:
     """Orient edges large->small, then connect every neighbor (and u
     itself) to the minimum label of the oriented neighborhood."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    with_min = _with_neighborhood_min(oriented, salt_buckets)
+    with_min = _with_neighborhood_min(oriented, salt_buckets, hot_threshold)
     nbr_edges = with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     self_edges = with_min.select(F.col("src"), F.col("m").alias("dst"))
     return (
@@ -116,6 +161,7 @@ def connected_components(
     dst: str = "dst",
     driver_threshold: int = 200_000,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, component) where component is
     the lexicographically smallest node id in the component.
@@ -144,7 +190,10 @@ def connected_components(
         return spark.createDataFrame(list(comp.items()), "node string, component string")
     prev_sig = None
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur, salt_buckets), salt_buckets).localCheckpoint()
+        cur = _small_star(
+            _large_star(cur, salt_buckets, hot_threshold),
+            salt_buckets, hot_threshold,
+        ).localCheckpoint()
         sig = _signature(cur)
         if sig == prev_sig:
             break
@@ -158,10 +207,12 @@ def connected_components(
 def assign_components(
     nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
 ) -> DataFrame:
     """All nodes -> components; isolated nodes become their own
     component."""
-    comp = connected_components(edges, salt_buckets=salt_buckets)
+    comp = connected_components(edges, salt_buckets=salt_buckets,
+                                hot_threshold=hot_threshold)
     return (
         nodes.select(F.col(node_col).cast("string").alias("node"))
         .distinct()

@@ -54,9 +54,13 @@ def test_salted_equals_unsalted_on_skewed_hub(spark):
     edges += [(f"n{i:03d}", f"n{i:03d}x") for i in range(0, 200, 7)]  # tails
     edges += [("za", "zb"), ("zb", "zc")]                        # separate comp
     df = spark.createDataFrame(edges, ["src", "dst"])
+    # hot_threshold=10 FORCES the hub (200 rows) onto the salted hot
+    # path while the tail keys stay cold — both code paths exercised
     salted = {
         (r["node"], r["component"])
-        for r in connected_components(df, driver_threshold=0, salt_buckets=16).collect()
+        for r in connected_components(
+            df, driver_threshold=0, salt_buckets=16, hot_threshold=10
+        ).collect()
     }
     window = {
         (r["node"], r["component"])
