@@ -680,6 +680,48 @@ def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage (SURVEY §2.9 set-ops at relational
+    level): per market segment, customers WITH at least one order
+    (left_semi) vs customers with NONE (left_anti). Both joins keep
+    the probe side narrow — no payload duplication, no row blow-up;
+    the anti-join is the same shape the resume path uses
+    (plans/checkpoint.py pending_only)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(orders, "c_custkey", "left_semi") \
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    without = cust.join(orders, "c_custkey", "left_anti") \
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    return (
+        cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+        .join(with_orders, "c_mktsegment", "left")
+        .join(without, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment", "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (window rank per key — q3_topk is GLOBAL
+    top-k; this is the per-key variant): each customer's 2 highest
+    orders by price. One shuffle on the window key; rank/key output
+    only (floats stay out of the hash)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("o_custkey", "rnk", "o_orderkey")
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -940,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
         "q5_region_revenue": _q5_region_revenue,
+        "order_coverage": _order_coverage,
+        "top_orders_per_customer": _top_orders_per_customer,
         # multi-token span detection + prob-greedy flatten (L3/L10)
         "full_mentions": _full_mentions,
         "flat_mentions": _flat_mentions,
@@ -1226,6 +1270,32 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "order_coverage": """
+            WITH seg AS (SELECT c_mktsegment, count(*) AS n_customers
+                         FROM customer GROUP BY 1),
+            w AS (SELECT c_mktsegment, count(*) AS n_with_orders
+                  FROM customer c
+                  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                  GROUP BY 1),
+            wo AS (SELECT c_mktsegment, count(*) AS n_without_orders
+                   FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   GROUP BY 1)
+            SELECT s.c_mktsegment, s.n_customers,
+                   coalesce(w.n_with_orders, 0) AS n_with_orders,
+                   coalesce(wo.n_without_orders, 0) AS n_without_orders
+            FROM seg s
+            LEFT JOIN w USING (c_mktsegment)
+            LEFT JOIN wo USING (c_mktsegment)
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, rnk, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders)
+            WHERE rnk <= 2
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
