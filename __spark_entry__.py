@@ -904,7 +904,12 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     neutral hashing."""
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
-    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_single_factory)["triples"]
+    # broadcast_alias=True: this caller KNOWS the dictionary is the
+    # bounded curated gazetteer (the guard's documented contract) —
+    # the hint removes one full mention-table shuffle that an AQE
+    # runtime SMJ->BHJ conversion would still have paid the write for
+    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_single_factory,
+                             broadcast_alias=True)["triples"]
     return t.select(
         "subj", "pred", "obj", "url",
         F.col("warc_ts").cast("long").alias("warc_ts"),
@@ -919,7 +924,7 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE feed the same linking/CC/triple chain as kg_triples."""
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
-    t = build_kg_from_sf_dir(spark, sf_dir)["triples"]
+    t = build_kg_from_sf_dir(spark, sf_dir, broadcast_alias=True)["triples"]
     return t.select(
         "subj", "pred", "obj", "url",
         F.col("warc_ts").cast("long").alias("warc_ts"),

@@ -47,7 +47,8 @@ def main() -> None:
     else:
         n_pages = int(os.environ.get("QIZNER_SCALING_PAGES", "60000"))
         words = 60
-        kw = {}
+        # the gazetteer dictionary is curated-bounded -> hint is safe
+        kw = {"broadcast_alias": True}
     # FIXED shuffle partitions at every parallelism level: the knob
     # sizes to DATA (bench.py doctrine), and the scaling criterion
     # compares the same job at two cluster sizes — per-level tuning

@@ -141,6 +141,23 @@ class TestAliasBroadcastGuard:
         # no-BNLJ plan test below
         assert hints(broadcast_alias=2) > input_hints
 
+    def test_flagship_parity_across_alias_strategies(self, spark, sf_dir):
+        """build_kg threads broadcast_alias; forced-hint and hybrid
+        hot/cold must emit the same triples as the unhinted default."""
+        from qizner_spark.plans.pipeline import build_kg_from_sf_dir
+
+        cols = ["subj", "pred", "obj", "url"]
+        base = build_kg_from_sf_dir(
+            spark, sf_dir, persist_intermediates=False
+        )["triples"].select(cols)
+        for strategy in (True, 2):
+            other = build_kg_from_sf_dir(
+                spark, sf_dir, persist_intermediates=False,
+                broadcast_alias=strategy,
+            )["triples"].select(cols)
+            assert base.exceptAll(other).count() == 0, strategy
+            assert other.exceptAll(base).count() == 0, strategy
+
     def test_hybrid_plans_no_bnlj_and_default_still_broadcasts_via_aqe(self, spark, sf_dir):
         from qizner_spark.operators.linking import link_mentions
 
