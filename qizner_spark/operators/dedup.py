@@ -214,10 +214,22 @@ def lsh_candidate_pairs(
 def minhash_dedup_pairs(
     docs: DataFrame, threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
     k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH candidates verified by the SIGNATURE Jaccard estimate
-    (fraction of agreeing minhashes)."""
+    (fraction of agreeing minhashes).
+
+    The signature table is referenced THREE times (banding + both
+    verification sides); without persistence each action re-runs the
+    shingle/md5/minhash Arrow pass per reference. ``persist_signatures``
+    materializes it once (MEMORY_AND_DISK) — the production analog is
+    writing signatures to a staging table between phases, which is
+    what a 100 TB pipeline does anyway."""
     sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     sa = sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
