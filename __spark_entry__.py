@@ -190,6 +190,15 @@ def _hyperplane_bucket_sql(vec: str, dim: int = 64, n_planes: int = 4, seed: int
     return "(" + " + ".join(terms) + ")"
 
 
+# per-doc distinct-entity cap for every co-mention pairing (the
+# O(k^2) self-join bound; see plans/pipeline.py
+# DEFAULT_MAX_ENTITIES_PER_DOC). 12 BITES at sf0.01 — ~370 of 425
+# pages carry more than 12 distinct entities — so the capped path is
+# what the oracles actually hash-verify. Shared by the kg_triples
+# oracles (rank: max prob DESC, entity_id ASC) and the relational
+# comention/CC demos (no prob -> rank degenerates to mention ASC).
+COMENTION_CAP = 12
+
 # the flagship oracle's page synthesis (mirrors sources/pages.py) and
 # its linking->CC->triple tail — shared verbatim by the single-token
 # (kg_triples) and full-gazetteer (kg_triples_full) oracles; both
@@ -199,7 +208,14 @@ _KG_PAGES_SQL = """pages AS (
                        1700000000 + doc_id * 60 AS warc_ts, text
                 FROM documents WHERE lang <> 'zh')"""
 
-_KG_TAIL_SQL = """per_doc AS (SELECT DISTINCT url, entity_id FROM linked),
+_KG_TAIL_SQL = f"""ent_rank AS (
+                SELECT url, entity_id,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY max(prob) DESC, entity_id ASC) AS rn
+                FROM linked GROUP BY url, entity_id),
+            per_doc AS (SELECT url, entity_id FROM ent_rank
+                        WHERE rn <= {COMENTION_CAP}),
             edges AS (SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
                       FROM per_doc a JOIN per_doc b
                       ON a.url = b.url AND a.entity_id < b.entity_id),
@@ -220,9 +236,11 @@ _KG_TAIL_SQL = """per_doc AS (SELECT DISTINCT url, entity_id FROM linked),
                        min(warc_ts) AS warc_ts, round(min(prob), 6) AS prob
                 FROM canon GROUP BY url, canonical_id, mention),
             ent_doc AS (
-                SELECT url, entity_id, canonical_id,
-                       min(warc_ts) AS warc_ts, min(prob) AS prob
-                FROM canon GROUP BY url, entity_id, canonical_id),
+                SELECT c.url, c.entity_id, c.canonical_id,
+                       min(c.warc_ts) AS warc_ts, min(c.prob) AS prob
+                FROM canon c JOIN per_doc p
+                ON c.url = p.url AND c.entity_id = p.entity_id
+                GROUP BY c.url, c.entity_id, c.canonical_id),
             t_edge AS (
                 SELECT a.canonical_id AS subj, 'mentioned_with' AS pred,
                        b.canonical_id AS obj, a.url AS url,
@@ -464,19 +482,28 @@ def _eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _ner_mentions(spark, sf_dir).select("doc_id", "mention").distinct()
-    a, b = m.alias("a"), m.alias("b")
+    """Co-mention pair counting through the capped pipeline operator
+    (no prob column -> rank degenerates to entity_id ASC, i.e. the
+    first COMENTION_CAP mentions alphabetically per doc)."""
+    from qizner_spark.plans.pipeline import comention_edges
+
+    m = _ner_mentions(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
+    )
     return (
-        a.join(b, "doc_id")
-        .where(F.col("a.mention") < F.col("b.mention"))
-        .groupBy(F.col("a.mention").alias("src"), F.col("b.mention").alias("dst"))
+        comention_edges(m, max_entities_per_doc=COMENTION_CAP)
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 _COMENTION_SQL = f"""
 WITH toks AS ({_NER_TOKS_SQL}),
-m AS (SELECT DISTINCT t.doc_id, t.mention
-      FROM toks t JOIN {gazetteer_sql_values()} USING (mention))
+m0 AS (SELECT DISTINCT t.doc_id, t.mention
+       FROM toks t JOIN {gazetteer_sql_values()} USING (mention)),
+r AS (SELECT doc_id, mention,
+             row_number() OVER (PARTITION BY doc_id ORDER BY mention) AS rn
+      FROM m0),
+m AS (SELECT doc_id, mention FROM r WHERE rn <= {COMENTION_CAP})
 SELECT a.mention AS src, b.mention AS dst, count(*) AS n_docs
 FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention
 GROUP BY 1, 2
@@ -909,7 +936,8 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hint removes one full mention-table shuffle that an AQE
     # runtime SMJ->BHJ conversion would still have paid the write for
     t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_single_factory,
-                             broadcast_alias=True)["triples"]
+                             broadcast_alias=True,
+                             max_entities_per_doc=COMENTION_CAP)["triples"]
     return t.select(
         "subj", "pred", "obj", "url",
         F.col("warc_ts").cast("long").alias("warc_ts"),
@@ -924,7 +952,8 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE feed the same linking/CC/triple chain as kg_triples."""
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
-    t = build_kg_from_sf_dir(spark, sf_dir, broadcast_alias=True)["triples"]
+    t = build_kg_from_sf_dir(spark, sf_dir, broadcast_alias=True,
+                             max_entities_per_doc=COMENTION_CAP)["triples"]
     return t.select(
         "subj", "pred", "obj", "url",
         F.col("warc_ts").cast("long").alias("warc_ts"),
@@ -1126,13 +1155,17 @@ def oracle_sql() -> dict[str, str]:
         "comention_edges": _COMENTION_SQL,
         "connected_components": f"""
             WITH RECURSIVE toks AS ({toks}),
-            m AS (SELECT DISTINCT t.doc_id, t.mention
-                  FROM toks t JOIN {gaz} USING (mention)),
+            m0 AS (SELECT DISTINCT t.doc_id, t.mention
+                   FROM toks t JOIN {gaz} USING (mention)),
+            r AS (SELECT doc_id, mention,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY mention) AS rn
+                  FROM m0),
+            m AS (SELECT doc_id, mention FROM r WHERE rn <= {COMENTION_CAP}),
             e AS (SELECT a.mention AS src, b.mention AS dst, count(*) AS n_docs
                   FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention
                   GROUP BY 1, 2 HAVING count(*) >= {CC_EDGE_THRESHOLD}),
             sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-            nodes AS (SELECT DISTINCT mention AS node FROM m),
+            nodes AS (SELECT DISTINCT mention AS node FROM m0),
             reach AS (
                 SELECT node, node AS comp FROM nodes
                 UNION

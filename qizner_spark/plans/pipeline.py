@@ -78,13 +78,55 @@ def extract_pages_text(pages: DataFrame, validate: bool = True) -> DataFrame:
     )
 
 
-def comention_edges(linked: DataFrame) -> DataFrame:
+# Per-doc distinct-entity ceiling for the co-mention self-join. The
+# join is O(k^2) pairs per document and is keyed on url, so the
+# hot-KEY salting in operators/graph.py cannot reach it: one spammy
+# page with 10^4 distinct entities would emit 5x10^7 pairs from a
+# single row group — an unfixable one-task straggler at 10^12 docs.
+# 1000 bounds any document at <=500k pairs while being far above the
+# entity count of any real page; None disables the cap entirely.
+DEFAULT_MAX_ENTITIES_PER_DOC = 1000
+
+
+def _per_doc_entities(linked: DataFrame,
+                      max_entities_per_doc: int | None) -> DataFrame:
+    """Per-doc DISTINCT entity set feeding the co-mention self-join,
+    optionally capped to the ``max_entities_per_doc`` most confident
+    entities per url (rank: max mention prob DESC, entity_id ASC for
+    deterministic ties). The rank window partitions on url — the same
+    key the downstream join shuffles on — so under the pipeline's
+    url-hash repartition it adds a sort but no extra exchange."""
+    if max_entities_per_doc is None:
+        return linked.select("url", "entity_id").distinct()
+    from pyspark.sql import Window
+
+    rank_src = F.col("prob") if "prob" in linked.columns else F.lit(0.0)
+    ranked = linked.groupBy("url", "entity_id").agg(
+        F.max(rank_src).alias("_rank_prob")
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("_rank_prob").desc(), F.col("entity_id").asc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_entities_per_doc)
+        .select("url", "entity_id")
+    )
+
+
+def comention_edges(linked: DataFrame,
+                    max_entities_per_doc: int | None = DEFAULT_MAX_ENTITIES_PER_DOC
+                    ) -> DataFrame:
     """Distinct entity pairs co-mentioned in the same document.
 
     Self-join on url over the per-doc DISTINCT entity set (deduped
     before the join so a hot page with 10^3 repeat mentions of one
-    entity contributes each pair once)."""
-    per_doc = linked.select("url", "entity_id").distinct()
+    entity contributes each pair once). ``max_entities_per_doc``
+    bounds the per-doc pair explosion (see
+    ``DEFAULT_MAX_ENTITIES_PER_DOC``); capped-out entities still
+    exist downstream (CC treats them as singletons) — they just stop
+    minting O(k^2) edges."""
+    per_doc = _per_doc_entities(linked, max_entities_per_doc)
     a = per_doc.alias("a")
     b = per_doc.alias("b")
     return (
@@ -109,6 +151,7 @@ def build_kg(
     salt_buckets: int | None = None,
     broadcast_components: bool = False,
     broadcast_alias: bool | int = False,
+    max_entities_per_doc: int | None = DEFAULT_MAX_ENTITIES_PER_DOC,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every intermediate plus ``triples``.
 
@@ -158,7 +201,7 @@ def build_kg(
 
     from qizner_spark.operators.graph import DEFAULT_SALT_BUCKETS
 
-    edges = comention_edges(linked)
+    edges = comention_edges(linked, max_entities_per_doc=max_entities_per_doc)
     components = assign_components(
         linked.select(F.col("entity_id").alias("node")), edges.select("src", "dst"),
         salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
@@ -196,9 +239,26 @@ def build_kg(
     # share a component — subj == obj is then an intra-cluster edge).
     # The self-join input is pre-deduped; the only post-join shuffle is
     # one groupBy that folds duplicate canonical pairs per url.
+    # The same per-doc entity cap applied to the triple-edge branch:
+    # ranked identically to _per_doc_entities (max prob DESC,
+    # entity_id ASC), so the CC edge graph and the mentioned_with
+    # triples see the SAME capped entity set. The rank window
+    # partitions on url — satisfied by the repartition above, no new
+    # exchange.
     ent_doc = canon.groupBy("url", "entity_id", "canonical_id").agg(
-        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob"),
+        F.max("prob").alias("_rank_prob"),
     )
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.col("_rank_prob").desc(), F.col("entity_id").asc()
+        )
+        ent_doc = ent_doc.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= max_entities_per_doc
+        ).drop("_rn")
+    ent_doc = ent_doc.drop("_rank_prob")
     a, b = ent_doc.alias("a"), ent_doc.alias("b")
     canon_edges = (
         a.join(b, "url")
