@@ -806,7 +806,10 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # rank only: cosine's last ulp may differ between engines
-    return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4, dim=64) \
+    # broadcast_queries=True: this caller KNOWS the query set is 5
+    # rows (the guard's documented bounded-small contract)
+    return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4, dim=64,
+                    broadcast_queries=True) \
         .select("query_id", "nbr_id", "rank")
 
 
@@ -825,7 +828,8 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 50)
     ann = ann_topk(emb, queries, k=10, n_planes=4, dim=64,
-                   multiprobe_bits=3).select("query_id", "nbr_id")
+                   multiprobe_bits=3,
+                   broadcast_queries=True).select("query_id", "nbr_id")
     exact = brute_force_topk(emb, queries, k=10).select("query_id", "nbr_id")
     hits = exact.join(ann, ["query_id", "nbr_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("hits_at_10")

@@ -119,6 +119,7 @@ def ann_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 6,
     multiprobe_bits: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "vec_id", seed: int = 23, dim: int | None = None,
+    broadcast_queries: bool | int = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates within Hamming
     distance ``multiprobe_bits`` of the query's LSH bucket. Recall
@@ -129,7 +130,26 @@ def ann_topk(
     driver query + tests/test_recall.py.
 
     Pass ``dim`` to keep the plan fully lazy (else a driver-side
-    first() action infers it mid-plan)."""
+    first() action infers it mid-plan).
+
+    ``broadcast_queries`` guards the query side of the bucket join —
+    the side the multiprobe explode multiplies by
+    ``1 + |probe_masks(n_planes, multiprobe_bits)|`` rows BEFORE the
+    join, so "my query set is small" is off by that factor:
+
+    * ``False`` (default) — UNHINTED equi-join: AQE's runtime size
+      statistics broadcast the exploded query side exactly when it is
+      genuinely under spark.sql.autoBroadcastJoinThreshold. The safe
+      choice for self-ANN (queries = corpus, the natural 100-TB dedup
+      shape), where a forced broadcast is an OOM.
+    * ``True`` — force the hint. Only when the caller KNOWS the query
+      set is bounded-small (a fixed probe list, a user search batch).
+    * ``int n`` — size-guarded hint: counts the query set (one cheap
+      action on the un-exploded side) and applies the hint only when
+      ``n_queries * (1 + |probe_masks|) <= n``, else falls back to
+      the unhinted join. For callers that take arbitrary query sets
+      but want the broadcast fast path when it is actually safe.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     c = hyperplane_signature(
@@ -145,10 +165,18 @@ def ann_topk(
         F.col("bucket").bitwiseXOR(F.lit(m))
         for m in probe_masks(n_planes, multiprobe_bits)
     ]
+    explode_factor = 1 + len(probe_masks(n_planes, multiprobe_bits))
+    if broadcast_queries is True:
+        hint = True
+    elif broadcast_queries is False:
+        hint = False
+    else:
+        hint = queries.count() * explode_factor <= int(broadcast_queries)
     q = q.withColumn("probe", F.explode(F.array(*probes)))
+    q_side = F.broadcast(q) if hint else q
     dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     scored = (
-        c.join(F.broadcast(q), c["bucket"] == q["probe"])
+        c.join(q_side, c["bucket"] == q_side["probe"])
         .where(F.col("nbr_id") != F.col("query_id"))
         .withColumn("cosine", F.expr(dot) / (F.col("qn") * F.col("cn")))
         .dropDuplicates(["query_id", "nbr_id"])

@@ -206,3 +206,65 @@ class TestComponentsBroadcastGuard:
             "broadcast_components=True added no hint — the flag is dead — "
             "or the default plan already hints the components join"
         )
+
+
+class TestAnnQueryBroadcastGuard:
+    """Mirror of TestAliasBroadcastGuard for ann_topk's query side:
+    self-ANN (queries = corpus, the natural 100-TB dedup shape) makes
+    the query side caller-sized, so the operator must not carry an
+    unconditional broadcast hint. NOTE the multiprobe explode
+    multiplies the query side by 1+|probe_masks| before the join —
+    the int guard accounts for it."""
+
+    @staticmethod
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_self_ann_default_is_unhinted_equi_join(self, spark, sf_dir):
+        from qizner_spark.operators.similarity import ann_topk
+
+        emb = self._emb(spark, sf_dir)
+        df = ann_topk(emb, emb, k=5, n_planes=4, dim=64)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, \
+            "self-ANN default plan carries a broadcast hint"
+        plan = final_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_forced_hint_is_not_dead(self, spark, sf_dir):
+        from qizner_spark.operators.similarity import ann_topk
+
+        emb = self._emb(spark, sf_dir)
+        q = emb.where("vec_id < 5")
+        hinted = ann_topk(emb, q, k=5, n_planes=4, dim=64,
+                          broadcast_queries=True)
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    def test_int_guard_hints_only_when_bounded(self, spark, sf_dir):
+        from qizner_spark.operators.similarity import ann_topk, probe_masks
+
+        emb = self._emb(spark, sf_dir)
+        q = emb.where("vec_id < 5")
+        factor = 1 + len(probe_masks(4, 1))
+
+        def hints(limit: int) -> int:
+            df = ann_topk(emb, q, k=5, n_planes=4, dim=64,
+                          broadcast_queries=limit)
+            return df._jdf.queryExecution().analyzed().toString().count(
+                "ResolvedHint")
+
+        assert hints(5 * factor) == 1        # exactly at the bound
+        assert hints(5 * factor - 1) == 0    # explode factor counted
+
+    def test_parity_across_strategies(self, spark, sf_dir):
+        from qizner_spark.operators.similarity import ann_topk
+
+        emb = self._emb(spark, sf_dir)
+        q = emb.where("vec_id < 5")
+        base = ann_topk(emb, q, k=5, n_planes=4, dim=64)
+        for strategy in (True, 10_000):
+            other = ann_topk(emb, q, k=5, n_planes=4, dim=64,
+                             broadcast_queries=strategy)
+            assert base.exceptAll(other).count() == 0, strategy
+            assert other.exceptAll(base).count() == 0, strategy
