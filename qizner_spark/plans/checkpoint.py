@@ -43,16 +43,20 @@ read. Legacy MANIFESTS (no ``run_id`` column) need no migration:
 missing/null run_id as "no staged commits", which is correct —
 pre-protocol writes were never staged.
 
-The staging/publish renames are driver-local filesystem operations;
-:func:`run_resumable` and :func:`recover_sink` REFUSE non-local sink
-URIs (s3a://, hdfs://) loudly. The production swap is the Hadoop
-FileSystem API (or a real Iceberg catalog) behind the same three
-steps.
+The protocol's four metadata operations (is_dir / list_dir / rename /
+rmtree) run through a filesystem seam: :class:`LocalFS` (default,
+os/shutil — local paths and ``file://`` URIs only, anything else
+fails loudly) or :class:`HadoopFS` (the Hadoop FileSystem API via the
+session JVM — the production binding for hdfs://, s3a://, or an
+Iceberg warehouse path; exercised in-sandbox against Hadoop's local
+filesystem by the crash suite). Swapping the sink store is one
+constructor argument, not a rewrite.
 """
 
 from __future__ import annotations
 
 import os
+import posixpath
 import shutil
 import time
 import uuid
@@ -65,21 +69,87 @@ class SimulatedCrash(RuntimeError):
     """Raised by the test-only crash hooks in :func:`run_resumable`."""
 
 
-def _assert_local_sink(path: str) -> None:
-    """The staging/publish steps use driver-local rename/rmtree; on a
-    remote URI they would silently no-op against a nonexistent local
-    path while the Spark writes go to the remote store — half-running
-    the protocol. Fail loudly instead."""
-    import re
+class LocalFS:
+    """Default filesystem seam: driver-local os/shutil operations.
 
-    m = re.match(r"^([a-z][a-z0-9+.-]*)://", path)
-    if m and m.group(1) != "file":
-        raise ValueError(
-            f"resumable sink must be a local path (got scheme "
-            f"'{m.group(1)}://'): the commit protocol's rename/cleanup "
-            f"steps are driver-local; route them through the Hadoop "
-            f"FileSystem API before pointing at {m.group(1)}://"
+    ``normalize`` strips a ``file://`` scheme so the driver-side
+    os.path/rename operations and Spark's writes (which resolve
+    ``file:///x`` to ``/x``) agree on ONE concrete path — without the
+    strip, a ``file:///x`` sink would write parquet under ``/x`` while
+    the publish rename targeted the literal string ``file:///x``,
+    failing AFTER the manifest commit (a lost increment). Any other
+    scheme fails loudly here: those need :class:`HadoopFS`."""
+
+    def normalize(self, path: str) -> str:
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.scheme == "file":
+            return parsed.path
+        if parsed.scheme and len(parsed.scheme) > 1:  # len>1: not a drive letter
+            raise ValueError(
+                f"LocalFS sink must be a local path (got scheme "
+                f"'{parsed.scheme}://'): the commit protocol's rename/"
+                f"cleanup steps are driver-local; pass fs=HadoopFS(spark, "
+                f"sink_path) to run them through the Hadoop FileSystem API"
+            )
+        return path
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+
+class HadoopFS:
+    """Hadoop FileSystem-backed seam: the production binding. Resolves
+    the filesystem for ``base_uri`` from the session's Hadoop
+    configuration, so hdfs://, s3a://, abfs:// (any scheme the
+    cluster's connectors provide) run the SAME commit protocol. The
+    in-sandbox crash suite drives it against Hadoop's local
+    filesystem (no cluster needed) — the swap is config, not code.
+
+    NOTE on atomicity: the protocol's commit point is the manifest
+    append (a Spark job commit), not these renames — so an
+    eventually-consistent object store without atomic rename still
+    recovers correctly via :func:`recover_sink` roll-forward/back.
+    """
+
+    def __init__(self, spark: SparkSession, base_uri: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(base_uri), spark._jsc.hadoopConfiguration()
         )
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def normalize(self, path: str) -> str:
+        return path  # the FileSystem owns scheme resolution
+
+    def is_dir(self, path: str) -> bool:
+        p = self._path(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def list_dir(self, path: str) -> list[str]:
+        return [s.getPath().getName() for s in self._fs.listStatus(self._path(path))]
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename reports failure as False, not an exception
+        if not self._fs.rename(self._path(src), self._path(dst)):
+            raise IOError(f"Hadoop FileSystem rename failed: {src} -> {dst}")
+
+    def rmtree(self, path: str) -> None:
+        if not self._fs.delete(self._path(path), True):
+            raise IOError(f"Hadoop FileSystem recursive delete failed: {path}")
 
 
 def _keys_if_exists(spark: SparkSession, path: str, key: str) -> DataFrame | None:
@@ -150,24 +220,28 @@ def _manifest_run_ids(spark: SparkSession, sink_path: str) -> set[str]:
     }
 
 
-def recover_sink(spark: SparkSession, sink_path: str) -> dict:
+def recover_sink(spark: SparkSession, sink_path: str, fs=None) -> dict:
     """Reconcile staged increments with the manifest (call on open —
     :func:`run_resumable` does). Committed-but-unpublished run_ids
     are rolled FORWARD (finish the rename); unmanifested staging
-    dirs are rolled BACK (deleted). Returns counts for observability."""
-    _assert_local_sink(sink_path)
-    staging_root = os.path.join(sink_path, "_staging")
-    if not os.path.isdir(staging_root):
+    dirs are rolled BACK (deleted). Returns counts for observability.
+
+    ``fs``: filesystem seam (default :class:`LocalFS`; pass
+    ``HadoopFS(spark, sink_path)`` for remote stores)."""
+    fs = fs or LocalFS()
+    sink_path = fs.normalize(sink_path)
+    staging_root = posixpath.join(sink_path, "_staging")
+    if not fs.is_dir(staging_root):
         return {"rolled_forward": 0, "rolled_back": 0}
     committed = _manifest_run_ids(spark, sink_path)
     fwd = back = 0
-    for rid in os.listdir(staging_root):
-        src = os.path.join(staging_root, rid)
+    for rid in fs.list_dir(staging_root):
+        src = posixpath.join(staging_root, rid)
         if rid in committed:
-            os.rename(src, os.path.join(sink_path, f"run_id={rid}"))
+            fs.rename(src, posixpath.join(sink_path, f"run_id={rid}"))
             fwd += 1
         else:
-            shutil.rmtree(src)
+            fs.rmtree(src)
             back += 1
     return {"rolled_forward": fwd, "rolled_back": back}
 
@@ -178,6 +252,7 @@ def run_resumable(
     sink_path: str,
     metrics_path: str | None = None,
     crash_after: str | None = None,
+    fs=None,
     **kg_kwargs,
 ) -> dict:
     """One resumable increment of the flagship pipeline:
@@ -186,11 +261,18 @@ def run_resumable(
 
     ``crash_after`` ('stage' | 'commit') raises :class:`SimulatedCrash`
     at the corresponding point — test hook for the crash-injection
-    suite; never set it in production."""
+    suite; never set it in production.
+
+    ``fs``: filesystem seam for the protocol's metadata operations
+    (default :class:`LocalFS`; ``HadoopFS(spark, sink_path)`` for
+    hdfs://, s3a://, ...). Spark's own parquet writes resolve the
+    same URIs through the identical Hadoop configuration, so both
+    halves of the protocol always target one store."""
     from qizner_spark.plans.pipeline import build_kg
 
-    _assert_local_sink(sink_path)
-    recovered = recover_sink(spark, sink_path)
+    fs = fs or LocalFS()
+    sink_path = fs.normalize(sink_path)
+    recovered = recover_sink(spark, sink_path, fs=fs)
     done = processed_keys(spark, sink_path)
     todo = pending_only(pages, done)
     t0 = time.time()
@@ -206,7 +288,7 @@ def run_resumable(
         ).persist()
         n_new = triples.count()
         # 1. STAGE (invisible: underscore prefix hides it from reads)
-        staging = os.path.join(sink_path, "_staging", run_id)
+        staging = posixpath.join(sink_path, "_staging", run_id)
         triples.write.mode("overwrite").partitionBy("subj_bucket").parquet(staging)
         if crash_after == "stage":
             raise SimulatedCrash("crashed after staging, before manifest commit")
@@ -218,7 +300,7 @@ def run_resumable(
         if crash_after == "commit":
             raise SimulatedCrash("crashed after manifest commit, before publish")
         # 3. PUBLISH: one directory rename
-        os.rename(staging, os.path.join(sink_path, f"run_id={run_id}"))
+        fs.rename(staging, posixpath.join(sink_path, f"run_id={run_id}"))
         metrics = {
             "n_pending": n_pending,
             "n_new_triples": n_new,
