@@ -224,7 +224,15 @@ def minhash_dedup_pairs(
     shingle/md5/minhash Arrow pass per reference. ``persist_signatures``
     materializes it once (MEMORY_AND_DISK) — the production analog is
     writing signatures to a staging table between phases, which is
-    what a 100 TB pipeline does anyway."""
+    what a 100 TB pipeline does anyway.
+
+    CACHE OWNERSHIP: the persisted lineage belongs to the CALLER.
+    The result DataFrame's ``_qizner_persisted`` attribute holds the
+    persisted signature handle — long-lived sessions (benches,
+    notebooks) that call this repeatedly should
+    ``df._qizner_persisted.unpersist()`` after materializing results,
+    or pass ``persist_signatures=False``; otherwise cached blocks
+    accumulate until LRU eviction pressure."""
     sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
     if persist_signatures:
         from pyspark import StorageLevel
@@ -233,7 +241,7 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     sa = sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
-    return (
+    out = (
         cands.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "est_jaccard",
@@ -244,6 +252,9 @@ def minhash_dedup_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+    if persist_signatures:
+        out._qizner_persisted = sigs  # caller owns the cached lineage
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -70,7 +70,12 @@ def _with_neighborhood_min(
     # see >= ~50 rows of a borderline-hot key; else count exactly
     use_sample = hot_threshold * hot_sample_frac >= 50
     probe = df.sample(hot_sample_frac, seed=7) if use_sample else df
-    cutoff = max(1, int(hot_threshold * (hot_sample_frac if use_sample else 1.0) / 2))
+    # the /2 is sampling-variance slack (a true-hot key whose sample
+    # count lands below the scaled threshold must still classify hot);
+    # in exact-count mode there is no variance, so the documented
+    # contract applies verbatim: >= hot_threshold rows is hot
+    cutoff = (max(1, int(hot_threshold * hot_sample_frac / 2))
+              if use_sample else hot_threshold)
     hot = (
         probe.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= cutoff)
