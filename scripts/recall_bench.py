@@ -88,6 +88,47 @@ def main() -> None:
         """).fetchone()
         nd_rows.append((ham, nh / ne, cand / all_pairs, ne, nc))
 
+    # ---- clustered sweep (round-4 verdict #5): same bucketing, but
+    # on corpora WITH neighbor structure, at three tightnesses. Pure
+    # numpy evaluator mirroring hyperplane_signature (planes =
+    # RandomState(23).randn, sign bits); the mid-tightness point is
+    # re-measured through the REAL Spark operators by
+    # tests/test_recall.py::TestClusteredRecall on the identical
+    # seeded corpus — the gate is Spark, the sweep is the map.
+    import numpy as np
+
+    from qizner_spark.sources.embeddings import clustered_embedding_matrix
+
+    def numpy_sweep(tight: float):
+        X = clustered_embedding_matrix(tightness=tight)
+        n, dim = X.shape
+        planes = np.random.RandomState(23).randn(4, dim)
+        b = ((X @ planes.T) >= 0).astype(np.int64) @ (1 << np.arange(4))
+        nrm = np.linalg.norm(X, axis=1)
+        cos = (X @ X.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(cos, -2.0)
+        xor = (b[:, None] ^ b[None, :]).astype(np.uint64)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=-1).sum(-1)
+        exact_top = np.argsort(-cos, axis=1)[:, :10]
+        thr = tight - 0.05
+        iu = np.triu_indices(n, 1)
+        true_pairs = cos[iu] >= thr
+        out = []
+        for depth in (1, 2, 3):
+            mask = ham <= depth
+            hits = 0
+            for q in range(50):
+                cand = np.where(mask[q])[0]
+                cand = cand[cand != q]
+                top = cand[np.argsort(-cos[q, cand])][:10]
+                hits += len(set(top.tolist()) & set(exact_top[q].tolist()))
+            pr = (true_pairs & mask[iu]).sum() / max(int(true_pairs.sum()), 1)
+            frac = mask[iu].sum() / len(iu[0])
+            out.append((depth, hits / 500.0, float(pr), float(frac)))
+        return int(true_pairs.sum()), out
+
+    clustered_rows = {t: numpy_sweep(t) for t in (0.7, 0.85, 0.95)}
+
     md = [
         "# BENCH/RECALL — approximate retrieval quality vs cost",
         "",
@@ -124,6 +165,30 @@ def main() -> None:
         gate = " **(gated config, floor 0.9)**" if ham == 3 else ""
         md.append(f"| <= {ham} | {rec:.3f}{gate} | {frac:.3f} | {ne} | {nc} |")
     md += [
+        "",
+        "## clustered corpora: recall vs probe depth at three tightnesses",
+        "",
+        "20 clusters x 25 members, dim 64, seeded "
+        "(`qizner_spark/sources/embeddings.py`); pair threshold = "
+        "tightness - 0.05. Numpy mirror of the same bucketing; the "
+        "tightness-0.85 depth-2 row is re-measured through the REAL "
+        "Spark operators (identical corpus) and floor-gated at 0.9 by "
+        "`tests/test_recall.py::TestClusteredRecall`.",
+        "",
+        "| intra-cluster cosine | depth | recall@10 | pair recall | candidate fraction |",
+        "|---|---|---|---|---|",
+    ]
+    for t, (n_true, rows) in clustered_rows.items():
+        for depth, r10, pr, frac in rows:
+            gate = " **(Spark-gated, floor 0.9)**" if (t, depth) == (0.85, 2) else ""
+            md.append(f"| ~{t} | <= {depth} | {r10:.3f} | {pr:.3f}{gate} | {frac:.3f} |")
+    md += [
+        "",
+        "Reading: real neighbor structure moves the whole curve left — "
+        "at tightness 0.85 depth 2 already reaches recall 0.97/0.99 "
+        "(vs depth 3 needed on structureless data), and at 0.95 the "
+        "cheap depth-1 configuration delivers 0.96-0.98. The depth-1 "
+        "default for dedup (cosine ~1 pairs) remains recall ~1.",
         "",
         "Reading: on structureless data, recall costs candidates — depth 3 "
         "scans ~93% of pairs for recall 0.97-0.99 (brute force is honest "

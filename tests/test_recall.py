@@ -78,3 +78,48 @@ class TestPlantedNearDupRecall:
         }
         planted = {(i, 100 + i) for i in range(50)}
         assert planted <= got, f"missed {sorted(planted - got)[:5]}..."
+
+
+class TestClusteredRecall:
+    """Recall floors on CLUSTERED embeddings (round-4 verdict #5):
+    the near-orthogonal testdata is LSH's worst case, so the claim
+    "real near-dup structure needs less probe depth" was previously
+    only tested at cosine~1. This gates the MID tightness point
+    (intra-cluster cosine ~0.85, 20 clusters x 25 members, dim 64)
+    at probe depth 2 — one depth cheaper than the structureless gate.
+    Full tightness x depth sweep: BENCH/RECALL.md."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        from qizner_spark.sources.embeddings import clustered_embeddings
+
+        return clustered_embeddings(spark, tightness=0.85).cache()
+
+    def test_ann_recall_at_depth2_floor(self, spark, clustered):
+        from qizner_spark.operators.similarity import ann_topk, brute_force_topk
+
+        queries = clustered.where(F.col("vec_id") < 50)
+        exact = brute_force_topk(clustered, queries, k=10).select("query_id", "nbr_id")
+        ann = ann_topk(clustered, queries, k=10, n_planes=4, dim=64,
+                       multiprobe_bits=2).select("query_id", "nbr_id")
+        n_exact = exact.count()
+        assert n_exact == 500
+        recall = exact.join(ann, ["query_id", "nbr_id"]).count() / n_exact
+        # numpy mirror measures 0.974 on this exact corpus (seed 11)
+        assert recall >= 0.9, f"clustered ann recall@10 {recall:.3f} < 0.9 at depth 2"
+
+    def test_near_dup_pair_recall_at_depth2_floor(self, spark, clustered):
+        from qizner_spark.operators.dedup import embedding_near_dup_pairs
+        from qizner_spark.operators.similarity import exact_cosine_pairs
+
+        # threshold just under the intra-cluster cosine: true pairs
+        # are overwhelmingly same-cluster members (~5.8k pairs)
+        exact = exact_cosine_pairs(clustered, threshold=0.8).select("id_a", "id_b")
+        cand = embedding_near_dup_pairs(
+            clustered, threshold=0.8, dim=64, n_planes=4, max_hamming=2
+        ).select("id_a", "id_b")
+        n_exact = exact.count()
+        assert n_exact > 1000  # the corpus really is clustered
+        recall = exact.join(cand, ["id_a", "id_b"]).count() / n_exact
+        # numpy mirror measures 0.987 on this exact corpus
+        assert recall >= 0.9, f"clustered pair recall {recall:.3f} < 0.9 at depth 2"
