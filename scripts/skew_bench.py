@@ -142,7 +142,75 @@ def worker() -> None:
     spark.stop()
 
 
+def _max_task_shuffle_records(ui_port: int, app: str, skip_stages: set[int]) -> int:
+    """Largest shuffle-read RECORD count of any single completed task
+    outside ``skip_stages`` — records (not durations) so the metric is
+    deterministic and immune to host throttling."""
+    base = f"http://127.0.0.1:{ui_port}/api/v1"
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/applications/{app}/stages?status=complete", timeout=10))
+    worst = 0
+    for st in stages:
+        if st["stageId"] in skip_stages or st.get("numCompleteTasks", 0) < 2:
+            continue
+        tasks = json.load(urllib.request.urlopen(
+            f"{base}/applications/{app}/stages/{st['stageId']}/"
+            f"{st['attemptId']}/taskList?length=500", timeout=10))
+        for t in tasks:
+            rec = ((t.get("taskMetrics") or {}).get("shuffleReadMetrics") or {}) \
+                .get("recordsRead", 0)
+            worst = max(worst, rec)
+    return worst
+
+
+def regression_worker() -> None:
+    """Fast skew-regression cell for tests/test_graph.py: ONE JVM,
+    both salt levels over the same cached hub graph, per-task
+    shuffle-read-record maxima from the REST taskList. Prints one
+    JSON line. Unsalted, the hub's full neighborhood lands in one
+    window task (max records ~ hub rows); salted, no task may read
+    more than a bounded fraction of it."""
+    n_nodes = int(os.environ.get("SKEW_NODES", "1000000"))
+    hub_frac = float(os.environ.get("SKEW_HUB_FRAC", "0.5"))
+    ui_port = int(os.environ.get("SKEW_UI_PORT", "4214"))
+
+    from pyspark.sql import functions as F
+
+    from qizner_spark.operators.graph import _with_neighborhood_min
+    from qizner_spark.session import get_spark
+
+    spark = get_spark(
+        "qizner-skew-regression", master="local[8]", shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n_hub = int(n_nodes * hub_frac)
+    hub = spark.range(1, n_hub).select(
+        F.lit("h0").alias("src"), F.concat(F.lit("n"), "id").alias("dst")
+    )
+    ring = spark.range(n_hub, n_nodes).select(
+        F.concat(F.lit("n"), "id").alias("src"),
+        F.concat(F.lit("n"), ((F.col("id") * 48271) % n_nodes)).alias("dst"),
+    )
+    edges = hub.unionByName(ring).repartition(64).cache()
+    edges.count()
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    base = f"http://127.0.0.1:{ui_port}/api/v1"
+    app = json.load(urllib.request.urlopen(f"{base}/applications", timeout=10))[0]["id"]
+    out = {"n_hub": n_hub}
+    for salt in (1, 16):
+        before = _completed_stage_ids(ui_port)
+        _with_neighborhood_min(sym, salt).write.format("noop").mode("overwrite").save()
+        out[f"max_records_salt{salt}"] = _max_task_shuffle_records(ui_port, app, before)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--regression" in sys.argv:
+        regression_worker()
+        return
     if "--worker" in sys.argv:
         worker()
         return
