@@ -287,6 +287,22 @@ def run_resumable(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(64))
         ).persist()
         n_new = triples.count()
+        # per-partition lineage for THIS increment (north_rule: one
+        # row per subj_bucket x run_id with triple + source-url
+        # counts). Aggregated to the driver NOW — <= 64 rows — and
+        # written only after publish: the manifest append below
+        # invalidates every cached plan that READS the manifest path
+        # (triples' lineage does, through the resume anti-join), so a
+        # lazy lineage aggregate evaluated after the commit would
+        # recompute against the new manifest and see an empty todo.
+        lineage = None
+        if metrics_path:
+            lineage = (
+                triples.groupBy("subj_bucket")
+                .agg(F.count(F.lit(1)).alias("n_triples"),
+                     F.countDistinct("url").alias("n_source_urls"))
+                .collect()
+            )
         # 1. STAGE (invisible: underscore prefix hides it from reads)
         staging = posixpath.join(sink_path, "_staging", run_id)
         triples.write.mode("overwrite").partitionBy("subj_bucket").parquet(staging)
@@ -310,6 +326,14 @@ def run_resumable(
             "run_id": run_id,
             **recovered,
         }
+        if metrics_path and lineage is not None:
+            ts = int(time.time())
+            spark.createDataFrame(
+                [(r["subj_bucket"], r["n_triples"], r["n_source_urls"],
+                  run_id, ts) for r in lineage],
+                "subj_bucket long, n_triples long, n_source_urls long, "
+                "run_id string, ts long",
+            ).coalesce(1).write.mode("append").json(f"{metrics_path}_partitions")
         triples.unpersist()
     if metrics_path:
         spark.createDataFrame([metrics]).write.mode("append").json(metrics_path)

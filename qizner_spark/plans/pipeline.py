@@ -306,11 +306,19 @@ def write_triples(
 
 
 def run_with_metrics(
-    spark: SparkSession, pages: DataFrame, out_path: str | None = None, **kw
+    spark: SparkSession, pages: DataFrame, out_path: str | None = None,
+    n_buckets: int = 64, **kw,
 ) -> dict:
     """Execute the DAG, recording wall-clock + row counts (the
     per-run metrics rows the north_rule requires; written alongside
-    the sink as ``_metrics`` when a path is given)."""
+    the sink as ``_metrics`` when a path is given).
+
+    Lineage is logged PER PARTITION (north_rule: "lineage and
+    throughput metrics logged per partition"): one row per
+    subj_bucket with its triple count and distinct source-url count,
+    written to ``{out_path}_metrics_partitions``. One extra groupBy
+    on the already-persisted triples — at 10^12 docs this is a
+    64-row aggregate, not a second pass over the data."""
     t0 = time.time()
     stages = build_kg(spark, pages, **kw)  # mentions already persisted inside
     stages["triples"] = stages["triples"].persist()
@@ -327,6 +335,20 @@ def run_with_metrics(
         "ts": int(time.time()),
     }
     if out_path:
-        write_triples(stages["triples"], out_path)
+        write_triples(stages["triples"], out_path, n_buckets=n_buckets)
         spark.createDataFrame([metrics]).write.mode("append").json(f"{out_path}_metrics")
+        per_part = (
+            stages["triples"]
+            .withColumn("subj_bucket",
+                        F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+            .groupBy("subj_bucket")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.countDistinct("url").alias("n_source_urls"),
+                 F.min("warc_ts").alias("min_warc_ts"),
+                 F.max("warc_ts").alias("max_warc_ts"))
+            .withColumn("wall_sec", F.lit(round(wall, 3)))
+            .withColumn("ts", F.lit(int(time.time())))
+        )
+        per_part.coalesce(1).write.mode("append").json(
+            f"{out_path}_metrics_partitions")
     return {"stages": stages, "metrics": metrics}

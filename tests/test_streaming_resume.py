@@ -399,3 +399,40 @@ class TestFilesystemSeam:
         run_resumable(spark, pages, sink)  # LocalFS
         m = run_resumable(spark, pages, sink, fs=HadoopFS(spark, sink))
         assert m["n_pending"] == 0 and m["resumed"]
+
+
+class TestPerPartitionLineage:
+    """north_rule: 'lineage and throughput metrics logged per
+    partition' — every increment appends one row per subj_bucket with
+    its triple/source counts, keyed by run_id."""
+
+    def test_resumable_logs_partition_lineage(self, spark, sf_dir, tmp_path):
+        pages = pages_from_documents(spark, sf_dir)
+        sink = str(tmp_path / "triples")
+        mpath = str(tmp_path / "metrics")
+        first, rest = pages.limit(15), pages
+        m1 = run_resumable(spark, first, sink, metrics_path=mpath)
+        m2 = run_resumable(spark, rest, sink, metrics_path=mpath)
+        lineage = spark.read.json(f"{mpath}_partitions")
+        assert set(lineage.columns) >= {
+            "subj_bucket", "n_triples", "n_source_urls", "run_id", "ts"}
+        runs = {r["run_id"] for r in lineage.select("run_id").distinct().collect()}
+        assert runs == {m1["run_id"], m2["run_id"]}
+        # lineage totals reconcile exactly with the run metrics
+        from pyspark.sql import functions as F
+        tot = {r["run_id"]: r["s"] for r in lineage.groupBy("run_id")
+               .agg(F.sum("n_triples").alias("s")).collect()}
+        assert tot[m1["run_id"]] == m1["n_new_triples"]
+        assert tot[m2["run_id"]] == m2["n_new_triples"]
+        # and with the published sink itself
+        assert spark.read.parquet(sink).count() == sum(tot.values())
+
+    def test_run_with_metrics_partition_breakdown(self, spark, sf_dir, tmp_path):
+        from qizner_spark.plans.pipeline import run_with_metrics
+
+        out = run_with_metrics(spark, pages_from_documents(spark, sf_dir).limit(20),
+                               out_path=str(tmp_path / "t"))
+        pp = spark.read.json(str(tmp_path / "t_metrics_partitions"))
+        from pyspark.sql import functions as F
+        assert pp.agg(F.sum("n_triples")).first()[0] == out["metrics"]["n_triples"]
+        assert pp.where(F.col("n_source_urls") < 1).count() == 0
