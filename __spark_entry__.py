@@ -749,6 +749,119 @@ def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bidirectional nation-pair trade volume by
+    year): two independent broadcast-dim chains (supplier->nation,
+    customer->nation) hang off the fact-fact l⋈o shuffle join; the
+    OR'd pair filter lands AFTER both dims attach. Exercises the
+    multi-dimension snowflake the KG provenance queries take at
+    warehouse scale."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
+    )
+    # supp_n/cust_n stay UNHINTED: supplier/customer scale with SF
+    # (only the 25-row nation dim above is force-broadcast); AQE
+    # broadcasts them at sandbox scale, shuffles them at warehouse
+    # scale — the broadcast-guard doctrine everywhere in this repo
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"])
+        .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
+        .where(pair)
+        .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+               & (F.col("l_shipdate") < F.lit("1999-01-01")))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ROWS UNBOUNDED PRECEDING window)
+    — the cumulative-aggregate shape. DECIMAL inside the window sum:
+    windowed float sums are evaluated in engine-specific association
+    order (segment trees vs running), decimal is order-exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double").alias("cum_spend"),
+    )
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long events -> one row per user cohort with one count
+    column per event type. The value list is EXPLICIT, so no extra
+    distinct pass runs to discover columns (at 10^12 rows that
+    discovery scan is a full extra job)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def _order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per segment: exact interpolated median
+    (percentile_cont semantics) + sample stddev. Rounding absorbs
+    engine summation-order noise; the mean is derived from an exact
+    DECIMAL sum so it hashes identically."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # unhinted: the customer dim is NOT bounded at warehouse scale
+    # (15M x SF rows) — AQE broadcasts it exactly when it fits
+    joined = orders.join(cust.select("c_custkey", "c_mktsegment"),
+                         orders["o_custkey"] == F.col("c_custkey"))
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_sum"),
+            # interpolate over integer CENTS: the two-middle-values
+            # midpoint is then exact in double for BOTH engines —
+            # interpolating raw doubles differs in the last ulp
+            # ((a+b)/2 vs a+(b-a)*0.5) and flips a rounding boundary
+            F.round(
+                F.expr("percentile(cast(round(o_totalprice * 100) as bigint), 0.5)")
+                / 100, 2
+            ).alias("median_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("stddev_price"),
+        )
+        .select(
+            "c_mktsegment", "n_orders",
+            F.round(F.col("_sum").cast("double") / F.col("n_orders"), 4)
+            .alias("avg_price"),
+            "median_price", "stddev_price",
+        )
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1022,6 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5_region_revenue,
         "order_coverage": _order_coverage,
         "top_orders_per_customer": _top_orders_per_customer,
+        "q7_nation_volume": _q7_nation_volume,
+        "cumulative_revenue": _cumulative_revenue,
+        "events_pivot": _events_pivot,
+        "order_value_stats": _order_value_stats,
         # multi-token span detection + prob-greedy flatten (L3/L10)
         "full_mentions": _full_mentions,
         "flat_mentions": _flat_mentions,
@@ -1338,6 +1455,54 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
                 FROM orders)
             WHERE rnk <= 2
+        """,
+        "q7_nation_volume": """
+            WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+                        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+            cn AS (SELECT c_custkey, n_name AS cust_nation
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            SELECT supp_nation, cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   count(*) AS n_lines,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cn ON o_custkey = c_custkey
+            JOIN sn ON l_suppkey = s_suppkey
+            WHERE ((supp_nation = 'NATION_13' AND cust_nation = 'NATION_19')
+                   OR (supp_nation = 'NATION_19' AND cust_nation = 'NATION_13'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "cumulative_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend
+            FROM orders
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS cohort,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY 1
+        """,
+        "order_value_stats": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 4) AS avg_price,
+                   round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                         / 100, 2) AS median_price,
+                   round(stddev_samp(o_totalprice), 2) AS stddev_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -40,9 +40,10 @@ def plans(spark, sf_dir):
     ner_mentions_udf, ner_seq_crf, exact_dedup, combine_by_text,
     token_counts, lang_id, quality_scores, doc_fingerprints,
     negative_sample, events_sessions, q1_pricing, full_mentions,
-    flat_mentions, multimodal_features, and top_orders_per_customer
-    (join-free; its window-exchange shape is locked separately in
-    TestExchangeShapes)."""
+    flat_mentions, multimodal_features, cumulative_revenue,
+    events_pivot (both window/pivot-only), and
+    top_orders_per_customer (join-free; its window-exchange shape is
+    locked separately in TestExchangeShapes)."""
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -59,6 +60,8 @@ def plans(spark, sf_dir):
         "eval_confusion", "eval_set_ops", "eval_compare", "ngram_jaccard",
         "ann_recall", "near_dup_recall", "q3_topk", "order_coverage",
         "kg_triples_full",
+        # round-5 additions
+        "q7_nation_volume", "order_value_stats",
     ]
     return {n: final_plan(qs[n](spark, sf_dir)) for n in names}
 
