@@ -244,3 +244,54 @@ def stream_windowed_entity_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming EXACT dedup of a continuously-landing crawl:
+    ``dropDuplicatesWithinWatermark`` on the normalized-text digest
+    (the same key as the batch ``exact_dedup`` operator), so repeat
+    fetches of the same content arriving within the watermark window
+    are dropped exactly once ACROSS micro-batches while the dedup
+    state stays BOUNDED — plain streaming dropDuplicates keys state
+    forever (unbounded at crawl scale); the watermark variant evicts
+    keys once event time passes them, which is the only state policy
+    that survives 10^12 documents. Duplicates farther apart than the
+    watermark re-admit (downstream batch MinHash/exact dedup over the
+    sink remains the global pass — this stage is the cheap in-flight
+    filter that keeps them out of the expensive detection stage).
+
+    Emits the surviving pages (html dropped, text kept) plus their
+    ``text_key`` digest; exactly-once via the streaming checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+    keyed = (
+        pages.select("url", "warc_ts", "text", "lang")
+        .withColumn(
+            "text_key",
+            F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))),
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_key"])
+    )
+    writer = (
+        keyed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -436,3 +436,66 @@ class TestPerPartitionLineage:
         from pyspark.sql import functions as F
         assert pp.agg(F.sum("n_triples")).first()[0] == out["metrics"]["n_triples"]
         assert pp.where(F.col("n_source_urls") < 1).count() == 0
+
+
+class TestStreamingDedup:
+    """stream_dedup_pages: exact dedup within the watermark window,
+    bounded state, exactly-once across restarts."""
+
+    @staticmethod
+    def _page_file(spark, path, rows, mtime=None):
+        # one single parquet FILE (the streaming file source lists
+        # plain files; nested dirs read as partition layout)
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] * 1_000_000 for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([None] * len(rows), pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        if mtime is not None:
+            os.utime(path, (mtime, mtime))
+
+    def test_cross_batch_dup_dropped_within_watermark(self, spark, tmp_path):
+        from qizner_spark.streaming.pipeline import stream_dedup_pages
+
+        B = 1_700_000_000
+        in_dir = str(tmp_path / "in")
+        # file 1: A, B. file 2 (separate micro-batch): dup of A's text
+        # from a different url 10 min later (inside the 1 h watermark)
+        # plus new C
+        self._page_file(spark, f"{in_dir}/f1.parquet", [
+            ("u/a", B, "alpha text"), ("u/b", B + 60, "beta text")], mtime=1_000_000)
+        self._page_file(spark, f"{in_dir}/f2.parquet", [
+            ("u/a2", B + 600, "alpha  text "),  # normalizes equal to A
+            ("u/c", B + 700, "gamma text")], mtime=1_000_010)
+        q = stream_dedup_pages(
+            spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+            watermark="1 hour", max_files_per_trigger=1)
+        q.awaitTermination(120)
+        got = {(r["url"], r["text_key"]) for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        urls = {u for u, _ in got}
+        assert urls == {"u/a", "u/b", "u/c"}, urls  # u/a2 deduped cross-batch
+        assert len({k for _, k in got}) == 3
+
+    def test_restart_is_exactly_once(self, spark, tmp_path):
+        from qizner_spark.streaming.pipeline import stream_dedup_pages
+
+        B = 1_700_000_000
+        in_dir = str(tmp_path / "in")
+        self._page_file(spark, f"{in_dir}/f1.parquet", [
+            ("u/a", B, "one"), ("u/b", B + 1, "two")])
+        args = (spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"))
+        stream_dedup_pages(*args).awaitTermination(120)
+        n1 = spark.read.parquet(str(tmp_path / "out")).count()
+        stream_dedup_pages(*args).awaitTermination(120)  # no new input
+        assert spark.read.parquet(str(tmp_path / "out")).count() == n1 == 2
