@@ -93,17 +93,24 @@ def _per_doc_entities(linked: DataFrame,
     """Per-doc DISTINCT entity set feeding the co-mention self-join,
     optionally capped to the ``max_entities_per_doc`` most confident
     entities per url (rank: max mention prob DESC, entity_id ASC for
-    deterministic ties). The rank window partitions on url — the same
-    key the downstream join shuffles on — so under the pipeline's
-    url-hash repartition it adds a sort but no extra exchange."""
+    deterministic ties).
+
+    ONE url-hash exchange serves the whole chain: HashPartitioning
+    (url) satisfies the (url, entity_id) aggregation's clustered
+    distribution (same url => colocated), the rank window's url
+    partition, AND the downstream self-join on url — without the
+    explicit repartition the planner keys the aggregation on
+    (url, entity_id) and the window/join then re-shuffle on url
+    (measured: 4 distinct exchanges -> 2, one per join side)."""
+    keyed = linked.select(
+        "url", "entity_id",
+        (F.col("prob") if "prob" in linked.columns else F.lit(0.0)).alias("_p"),
+    ).repartition(F.col("url"))
     if max_entities_per_doc is None:
-        return linked.select("url", "entity_id").distinct()
+        return keyed.select("url", "entity_id").distinct()
     from pyspark.sql import Window
 
-    rank_src = F.col("prob") if "prob" in linked.columns else F.lit(0.0)
-    ranked = linked.groupBy("url", "entity_id").agg(
-        F.max(rank_src).alias("_rank_prob")
-    )
+    ranked = keyed.groupBy("url", "entity_id").agg(F.max("_p").alias("_rank_prob"))
     w = Window.partitionBy("url").orderBy(
         F.col("_rank_prob").desc(), F.col("entity_id").asc()
     )
