@@ -749,6 +749,38 @@ def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction: top-3 TF-IDF terms per document.
+    Output carries only INTEGER evidence columns (tf, df) + the rank
+    — the float score drives ordering only, keeping the hash surface
+    engine-exact."""
+    from qizner_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
+def _comention_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm as a DataFrame loop: 3 PageRank
+    rounds over the capped co-mention graph (damping 0.85). The
+    oracle unrolls the same three iterations as chained CTEs with
+    bit-identical float arithmetic ((1.0 - 0.85)/n, not a 0.15
+    literal — they differ in the last ulp). Global rank window is
+    fine at 24 nodes; at scale rank per partition or top-k."""
+    from qizner_spark.operators.graph import pagerank
+    from qizner_spark.plans.pipeline import comention_edges
+
+    m = _ner_mentions(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
+    )
+    edges = comention_edges(m, max_entities_per_doc=COMENTION_CAP) \
+        .select("src", "dst").distinct()
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return pr.select(
+        "node", F.round("pr", 6).alias("pr")
+    ).withColumn("rnk", F.row_number().over(w))
+
+
 def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (bidirectional nation-pair trade volume by
     year): two independent broadcast-dim chains (supplier->nation,
@@ -1139,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue": _cumulative_revenue,
         "events_pivot": _events_pivot,
         "order_value_stats": _order_value_stats,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "comention_pagerank": _comention_pagerank,
         # multi-token span detection + prob-greedy flatten (L3/L10)
         "full_mentions": _full_mentions,
         "flat_mentions": _flat_mentions,
@@ -1456,6 +1490,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             WHERE rnk <= 2
         """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       t.tf * ln((1 + (SELECT n FROM nn)) * 1.0 / (1 + d.df)) AS tfidf
+                FROM tf t JOIN dfreq d USING (term))
+            SELECT doc_id, rnk, term, tf, df FROM (
+                SELECT doc_id, term, tf, df,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rnk
+                FROM scored)
+            WHERE rnk <= 3
+        """,
+        "comention_pagerank": f"""
+            WITH toks AS ({{toks}}),
+            m0 AS (SELECT DISTINCT t.doc_id, t.mention
+                   FROM toks t JOIN {{gaz}} USING (mention)),
+            r AS (SELECT doc_id, mention,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY mention) AS rn
+                  FROM m0),
+            m AS (SELECT doc_id, mention FROM r WHERE rn <= {COMENTION_CAP}),
+            e AS (SELECT DISTINCT a.mention AS src, b.mention AS dst
+                  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention),
+            sym AS (SELECT src AS u, dst AS v FROM e
+                    UNION SELECT dst, src FROM e),
+            nodes AS (SELECT DISTINCT u AS node FROM sym),
+            deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+            p1 AS (SELECT n2.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * coalesce(sum(p.pr / d.deg), 0) AS pr
+                   FROM nodes n2
+                   LEFT JOIN sym s ON s.v = n2.node
+                   LEFT JOIN p0 p ON p.node = s.u
+                   LEFT JOIN deg d ON d.u = s.u
+                   GROUP BY n2.node),
+            p2 AS (SELECT n2.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * coalesce(sum(p.pr / d.deg), 0) AS pr
+                   FROM nodes n2
+                   LEFT JOIN sym s ON s.v = n2.node
+                   LEFT JOIN p1 p ON p.node = s.u
+                   LEFT JOIN deg d ON d.u = s.u
+                   GROUP BY n2.node),
+            p3 AS (SELECT n2.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * coalesce(sum(p.pr / d.deg), 0) AS pr
+                   FROM nodes n2
+                   LEFT JOIN sym s ON s.v = n2.node
+                   LEFT JOIN p2 p ON p.node = s.u
+                   LEFT JOIN deg d ON d.u = s.u
+                   GROUP BY n2.node)
+            SELECT node, round(pr, 6) AS pr,
+                   CAST(row_number() OVER (ORDER BY pr DESC, node ASC) AS BIGINT) AS rnk
+            FROM p3
+        """.format(toks=toks, gaz=gaz),
         "q7_nation_volume": """
             WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
                         FROM supplier JOIN nation ON s_nationkey = n_nationkey),

@@ -224,3 +224,51 @@ def assign_components(
         .join(comp, "node", "left")
         .withColumn("component", F.coalesce("component", F.col("node")))
     )
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iterations: int = 3,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Undirected PageRank by fixed-point iteration — entity salience
+    over the co-mention graph (the canonical 'which entities anchor
+    the KG' ranking; no reference analog, SURVEY §2.10).
+
+    Pure DataFrame loop: symmetrize once, degree per node once, then
+    per iteration one join (rank/degree contribution along each edge)
+    and one aggregation (sum per destination) — the O(iterations)
+    chain Catalyst plans as repeated shuffle-on-node, exactly the
+    Pregel data layout. Dangling nodes cannot exist after
+    symmetrization (every node has degree >= 1). The node count joins
+    in as a broadcast 1-row aggregate so the plan stays lazy. For
+    many iterations at scale, checkpoint the rank table every few
+    rounds to cut lineage (same doctrine as connected_components).
+
+    Returns (node, pr) with pr UNROUNDED — callers hash-compare via
+    rank order + rounding appropriate to their tolerance."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                ((1.0 - damping) / F.col("_n")
+                 + damping * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            )
+        )
+    return ranks

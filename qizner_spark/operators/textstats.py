@@ -101,3 +101,48 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_col(text_col).alias("quality"),
         fingerprint_col(text_col).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic corpus-level
+    keyword extractor a training-data pipeline runs for topic
+    filtering / diversity sampling (no reference analog; SURVEY §2.10
+    beyond-reference family).
+
+    Fully declarative and scale-shaped: one explode -> per-doc term
+    counts (map-side combined) -> document-frequency aggregate on the
+    term key -> unhinted tf⋈df join (the vocabulary of an open corpus
+    is Zipfian-unbounded: AQE broadcasts the df side exactly when it
+    is genuinely small) -> per-doc top-k window. The corpus size
+    joins in as a broadcast 1-row aggregate, keeping the plan fully
+    lazy (no driver-side count action). IDF = ln((1+N)/(1+df))
+    (smoothed); output carries the integer (tf, df) evidence columns,
+    so the hashable surface is engine-exact while the float only
+    drives the ranking."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.lit(1) + F.col("_n"))
+                                / (F.lit(1) + F.col("df"))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tf", "df")
+    )

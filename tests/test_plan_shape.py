@@ -61,7 +61,8 @@ def plans(spark, sf_dir):
         "ann_recall", "near_dup_recall", "q3_topk", "order_coverage",
         "kg_triples_full",
         # round-5 additions
-        "q7_nation_volume", "order_value_stats",
+        "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
+        "comention_pagerank",
     ]
     return {n: final_plan(qs[n](spark, sf_dir)) for n in names}
 
@@ -72,7 +73,12 @@ FORBIDDEN_EVERYWHERE = ["CartesianProduct"]
 # ann_recall / near_dup_recall embed that same exact baseline as the
 # ground-truth side of their recall measurement (similarity.py
 # brute_force_topk / exact_cosine_pairs, both size-asserted).
-BNLJ_ALLOWED = {"similarity_topk", "ann_recall", "near_dup_recall"}
+# tfidf_top_terms / comention_pagerank: their BNLJ side is a
+# groupBy().count() ONE-ROW aggregate (the lazy corpus-/node-count
+# scalar attach, same sanctioned shape as negative_sample's broadcast
+# count) — bounded by construction at any scale.
+BNLJ_ALLOWED = {"similarity_topk", "ann_recall", "near_dup_recall",
+                "tfidf_top_terms", "comention_pagerank"}
 
 
 class TestForbiddenJoins:
