@@ -36,6 +36,8 @@ HEADLINE = [
     "multimodal_features",  # Arrow feature extraction over binary
     "q1_pricing",           # agg-heavy relational
     "events_sessions",      # window functions
+    "tfidf_top_terms",      # explode -> two aggs -> join -> top-k window
+    "comention_pagerank",   # iterative DataFrame-loop graph algorithm
 ]
 
 
