@@ -185,3 +185,55 @@ def test_salting_bounds_hub_task_records_end_to_end():
     assert r["max_records_salt1"] >= 0.9 * n_hub, r
     # salted: bounded — no task sees even half the hub's rows
     assert r["max_records_salt16"] <= 0.5 * n_hub, r
+
+
+class TestPageRank:
+    def test_probability_mass_conserved(self, spark):
+        """No dangling nodes after symmetrization -> total PR mass
+        stays 1 at every iteration count."""
+        from qizner_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], ["src", "dst"])
+        from pyspark.sql import functions as F
+        for iters in (1, 3):
+            total = pagerank(edges, iterations=iters).agg(F.sum("pr")).first()[0]
+            assert abs(total - 1.0) < 1e-9
+
+    def test_hub_ranks_highest(self, spark):
+        from qizner_spark.operators.graph import pagerank
+
+        star = spark.createDataFrame(
+            [("hub", f"leaf{i}") for i in range(6)], ["src", "dst"])
+        rows = {r["node"]: r["pr"] for r in pagerank(star, iterations=5).collect()}
+        assert rows["hub"] == max(rows.values())
+        leafs = {v for k, v in rows.items() if k != "hub"}
+        assert len(leafs) == 1  # symmetric leaves tie exactly
+
+    def test_matches_power_iteration(self, spark):
+        """3 DataFrame rounds == 3 numpy power-iteration rounds."""
+        import numpy as np
+
+        from qizner_spark.operators.graph import pagerank
+
+        pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        got = {r["node"]: r["pr"] for r in pagerank(edges, 0.85, 3).collect()}
+
+        nodes = sorted({x for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(nodes)}
+        sym = set()
+        for u, v in pairs:
+            sym.add((idx[u], idx[v])); sym.add((idx[v], idx[u]))
+        n = len(nodes)
+        deg = np.zeros(n)
+        for u, _ in sym:
+            deg[u] += 1
+        p = np.full(n, 1.0 / n)
+        for _ in range(3):
+            nxt = np.full(n, (1.0 - 0.85) / n)
+            for u, v in sym:
+                nxt[v] += 0.85 * p[u] / deg[u]
+            p = nxt
+        for name, i in idx.items():
+            assert abs(got[name] - p[i]) < 1e-12, name

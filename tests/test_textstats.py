@@ -95,3 +95,32 @@ class TestMultimodal:
         for v in vids:
             n = [r["count"] for r in got if r["media_id"] == v["media_id"]][0]
             assert n == (max(v["n_bytes"] - 1, 0) // 8) + 1
+
+
+class TestTfidf:
+    def test_top_terms_rank_and_evidence(self, spark):
+        from qizner_spark.operators.textstats import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "rare common common"), (2, "common common common"),
+             (3, "unique common filler")],
+            ["doc_id", "text"])
+        rows = tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: (r["term"], r["tf"], r["df"]) for r in rows}
+        # 'common' appears in every doc -> idf ln(4/4)=0 -> never top
+        assert top[1] == ("rare", 1, 1)
+        assert top[3][0] in ("unique", "filler")  # both df=1 tf=1; term asc
+        assert top[3][0] == "filler"
+        # doc 2 has only zero-idf terms; rank-1 row still exists
+        assert top[2][0] == "common"
+
+    def test_k_bounds_output(self, spark):
+        from pyspark.sql import functions as F
+
+        from qizner_spark.operators.textstats import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g h") for i in range(5)], ["doc_id", "text"])
+        out = tfidf_top_terms(docs, k=3)
+        per_doc = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        assert per_doc.where(F.col("n") > 3).count() == 0
