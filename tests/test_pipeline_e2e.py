@@ -196,3 +196,27 @@ class TestComentionCap:
         for r in e.collect():
             kept.add(r["src"]); kept.add(r["dst"])
         assert kept == {"e0", "e1", "e2"}
+
+
+def test_triple_sink_partition_pruning(spark, sf_dir, tmp_path):
+    """The subj_bucket-partitioned sink must prune at read time: a
+    bucket-filtered scan shows the predicate in PartitionFilters (so
+    at 10^12 triples a single-entity provenance lookup reads 1/64 of
+    the files), and partition pruning composes with column pruning
+    (ReadSchema carries only the projected columns)."""
+    from qizner_spark.plans.pipeline import build_kg_from_sf_dir, write_triples
+
+    triples = build_kg_from_sf_dir(spark, sf_dir)["triples"]
+    path = str(tmp_path / "sink")
+    write_triples(triples, path)
+    back = spark.read.parquet(path)
+    q = back.where(F.col("subj_bucket") == 7).select("subj", "obj")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the bucket predicate must be IN the partition filters, not a
+    # post-scan filter over all files
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "subj_bucket" in pf
+    assert "ReadSchema" in plan
+    rs = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "url" not in rs and "warc_ts" not in rs  # column pruning
