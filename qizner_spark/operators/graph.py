@@ -234,47 +234,59 @@ def pagerank(
     over the co-mention graph (the canonical 'which entities anchor
     the KG' ranking; no reference analog, SURVEY §2.10).
 
-    Pure DataFrame loop: symmetrize once, degree per node once, then
-    per iteration one join (rank/degree contribution along each edge)
-    and one aggregation (sum per destination) — the O(iterations)
-    chain Catalyst plans as repeated shuffle-on-node, exactly the
-    Pregel data layout. Dangling nodes cannot exist after
-    symmetrization (every node has degree >= 1). The node count joins
-    in as a broadcast 1-row aggregate so the plan stays lazy. For
-    many iterations at scale, checkpoint the rank table every few
-    rounds to cut lineage (same doctrine as connected_components).
+    Pure DataFrame loop: symmetrize once, fold the degree onto each
+    edge once, then per iteration exactly one join (rank onto the
+    pre-partitioned degree-annotated edges) and one aggregation (sum
+    per destination) — the O(iterations) chain Catalyst plans as
+    repeated shuffle-on-node, exactly the Pregel data layout. After
+    symmetrization every node has degree >= 1 (no dangling mass) and
+    every rank is strictly positive ((1-d)/n floor), so the
+    contribution aggregate covers EVERY node each round — no
+    node-table re-join is needed to keep zero-contribution nodes
+    alive. The node count joins in as a broadcast 1-row aggregate so
+    the plan stays lazy. For many iterations at scale, checkpoint the
+    rank table every few rounds to cut lineage (same doctrine as
+    connected_components).
 
     Returns (node, pr) with pr UNROUNDED — callers hash-compare via
     rank order + rounding appropriate to their tolerance."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # cut lineage once: sym/deg/nodes are referenced by EVERY
-    # iteration's join, and without the checkpoint each action
+    # cut lineage once: the weighted edge table is referenced by
+    # EVERY iteration's join, and without the checkpoint each action
     # replays the whole upstream edge derivation per round (measured
     # 8.4 s -> ~1 s on the sf0.1 co-mention graph). Same doctrine as
-    # connected_components' per-round localCheckpoint.
+    # connected_components' per-round localCheckpoint. The
+    # repartition(u) BEFORE the checkpoint is load-bearing:
+    # localCheckpoint preserves the physical partitioning in the
+    # LogicalRDD, so each iteration's join only shuffles the (tiny)
+    # rank side — the edge side never re-shuffles.
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-        .distinct().localCheckpoint()
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+        .distinct()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # deg rides along raw (NOT pre-inverted): the per-iteration
+    # contribution must stay pr/deg, bit-identical to the unrolled
+    # SQL oracle — pr*(1/deg) differs in the last ulp.
+    w_edges = (
+        sym.join(deg, "u")
+        .select("u", "v", "deg")
+        .repartition(F.col("u"))
+        .localCheckpoint()
+    )
+    nodes = w_edges.select(F.col("u").alias("node")).distinct()
     n = nodes.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("pr")
     )
     for _ in range(iterations):
         contrib = (
-            sym.join(ranks, sym["u"] == ranks["node"])
-            .join(deg, "u")
+            w_edges.join(ranks, w_edges["u"] == ranks["node"])
             .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                ((1.0 - damping) / F.col("_n")
-                 + damping * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
-            )
+        ranks = contrib.crossJoin(F.broadcast(n)).select(
+            "node",
+            ((1.0 - damping) / F.col("_n")
+             + damping * F.col("c")).alias("pr"),
         )
     return ranks
