@@ -1110,6 +1110,55 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_stream_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-equals-batch, hash-verified: the pages table lands
+    as three single-file parquet drops, Structured Streaming
+    (maxFilesPerTrigger=1) runs the per-document detection stage one
+    micro-batch per drop appending to a mention staging sink
+    exactly-once, and the corpus-global compaction (assemble_kg:
+    alias -> link -> co-mention -> CC -> triples) runs over the
+    ACCUMULATED sink. The oracle is LITERALLY the kg_triples batch
+    oracle — the streaming path must reproduce the batch DAG
+    bit-for-bit (same gazetteer scorer, same broadcast hint, same
+    per-doc entity cap)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qizner_spark.sources.pages import pages_from_documents
+    from qizner_spark.streaming.pipeline import stream_kg_increments
+
+    work = tempfile.mkdtemp(prefix="qizner_kg_stream_")
+    input_dir = os.path.join(work, "pages_in")
+    os.makedirs(input_dir)
+    pdf = pages_from_documents(spark, sf_dir).toPandas() \
+        .sort_values("url", kind="mergesort").reset_index(drop=True)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    ts_idx = tbl.schema.get_field_index("warc_ts")
+    tbl = tbl.set_column(
+        ts_idx, "warc_ts", tbl.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    n_files = 3
+    for b in range(n_files):
+        part = tbl.take(list(range(b, tbl.num_rows, n_files)))
+        path = os.path.join(input_dir, f"drop-{b}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (1_000_000 + b * 10, 1_000_000 + b * 10))
+    out = stream_kg_increments(
+        spark, input_dir, work, scorer_factory=_kg_single_factory,
+        assemble_kw=dict(broadcast_alias=True,
+                         max_entities_per_doc=COMENTION_CAP),
+    )
+    t = out["triples"]
+    return t.select(
+        "subj", "pred", "obj", "url",
+        F.col("warc_ts").cast("long").alias("warc_ts"),
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1182,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "kg_triples": _kg_triples,
         "kg_triples_full": _kg_triples_full,
+        "kg_stream_increments": _kg_stream_increments,
     }
 
 
@@ -1195,7 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "  i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' '))) AS sh "
         "FROM documents"
     )
-    return {
+    sql = {
         "ner_mentions": _NER_SQL,
         "ner_mentions_udf": _NER_SQL,
         "ner_seq_crf": _NER_SQL,
@@ -1827,3 +1877,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+    # the streaming-incremental flagship must reproduce the batch DAG
+    # bit-for-bit, so its oracle IS the batch oracle
+    sql["kg_stream_increments"] = sql["kg_triples"]
+    return sql

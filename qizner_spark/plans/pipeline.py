@@ -203,6 +203,37 @@ def build_kg(
 
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 
+    assembled = assemble_kg(
+        mentions, salt_buckets=salt_buckets,
+        broadcast_components=broadcast_components,
+        broadcast_alias=broadcast_alias,
+        max_entities_per_doc=max_entities_per_doc,
+    )
+    return {"docs": docs, "mentions": mentions, **assembled}
+
+
+def assemble_kg(
+    mentions: DataFrame,
+    salt_buckets: int | None = None,
+    broadcast_components: bool = False,
+    broadcast_alias: bool | int = False,
+    max_entities_per_doc: int | None = DEFAULT_MAX_ENTITIES_PER_DOC,
+) -> dict[str, DataFrame]:
+    """Corpus-GLOBAL compaction half of the KG DAG — alias dictionary
+    -> linking -> co-mention edges -> connected components -> triple
+    assembly — over an already-materialized mention table.
+
+    Factored out of :func:`build_kg` so the incremental path shares it
+    verbatim. The split line is principled, not convenience: mention
+    DETECTION is per-document (embarrassingly incremental — stream it
+    micro-batch by micro-batch into an append sink; it is also ~all
+    of the compute at 10^12 docs), while everything here aggregates
+    ACROSS documents (the alias dictionary, the co-mention graph,
+    canonicalization) and must recompute over the accumulated mention
+    table — the periodic compaction pass of a continuously-landing
+    crawl. Streaming detection + this over the sink is therefore
+    identical to the batch DAG by construction (hash-verified
+    end-to-end by the ``kg_stream_increments`` driver oracle)."""
     alias = build_alias_dictionary(mentions)
     linked = link_mentions(mentions, alias, broadcast_alias=broadcast_alias)
 
@@ -285,8 +316,6 @@ def build_kg(
     triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
 
     return {
-        "docs": docs,
-        "mentions": mentions,
         "alias": alias,
         "linked": linked,
         "edges": edges,

@@ -246,6 +246,81 @@ def stream_windowed_entity_counts(
     return writer.start()
 
 
+def stream_kg_increments(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    scorer_factory=None,
+    max_files_per_trigger: int | None = 1,
+    assemble_kw: dict | None = None,
+) -> dict:
+    """Incremental KG construction over a continuously-landing crawl,
+    with batch-identical output BY CONSTRUCTION.
+
+    The DAG splits on a principled line (see
+    :func:`qizner_spark.plans.pipeline.assemble_kg`): mention
+    detection is per-document and ~all of the compute at 10^12 docs,
+    so it streams — each micro-batch runs the Arrow detection pass on
+    newly-landed pages only and APPENDS to a mention staging sink
+    (exactly-once via the streaming checkpoint; a restart never
+    re-scores processed pages). Everything downstream (alias
+    dictionary, linking, co-mention graph, canonicalization, triple
+    assembly) aggregates ACROSS documents, so it runs as the periodic
+    compaction pass over the ACCUMULATED sink. Because detection is a
+    pure per-row function and the compaction reads the full mention
+    set, streaming-then-compacting emits exactly the triples the
+    batch DAG emits on the same pages — hash-verified end-to-end by
+    the ``kg_stream_increments`` driver oracle (which is literally
+    the ``kg_triples`` batch oracle).
+
+    Returns ``{"mentions", "triples", ..., "n_batches"}`` where
+    ``n_batches`` counts non-empty micro-batches (tests pin > 1 so
+    the increment path is actually exercised)."""
+    import posixpath
+
+    from pyspark.sql import functions as F
+
+    from qizner_spark.operators.mentions import detect_mentions
+    from qizner_spark.plans.pipeline import (
+        assemble_kg, default_scorer_factory, extract_pages_text,
+    )
+
+    mentions_dir = posixpath.join(work_dir, "mentions")
+    checkpoint_dir = posixpath.join(work_dir, "_stream_checkpoint")
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+    # identical per-row prep to the batch DAG: byte-identity check,
+    # html dropped, warc_ts provenance riding through the Arrow pass
+    docs = extract_pages_text(pages).where(F.col("extract_ok") == 1) \
+        .drop("extract_ok")
+    mentions = detect_mentions(
+        docs, scorer_factory or default_scorer_factory,
+        key_col="url", text_col="text", lang_col="lang",
+        passthrough_cols=["warc_ts"],
+    ).withColumnRenamed("doc_key", "url")
+    q = (
+        mentions.writeStream.format("parquet")
+        .option("path", mentions_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    accumulated = spark.read.parquet(mentions_dir)
+    # no persist: the staging sink IS the materialization — each
+    # compaction branch re-scans cheap columnar parquet, exactly the
+    # production staging-table pattern build_kg documents.
+    assembled = assemble_kg(accumulated, **(assemble_kw or {}))
+    return {"mentions": accumulated, "n_batches": n_batches, **assembled}
+
+
 def stream_dedup_pages(
     spark: SparkSession,
     input_dir: str,

@@ -63,6 +63,11 @@ def plans(spark, sf_dir):
         # round-5 additions
         "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
         "comention_pagerank",
+        # constructing this one RUNS the availableNow stream first
+        # (per-doc detection into the mention staging sink); the plan
+        # under test is the corpus-global compaction (assemble_kg)
+        # reading that sink — the same join inventory as kg_triples
+        "kg_stream_increments",
     ]
     return {n: final_plan(qs[n](spark, sf_dir)) for n in names}
 

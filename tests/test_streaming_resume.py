@@ -32,6 +32,31 @@ class TestStreaming:
         assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
         assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
 
+    def test_kg_increments_equal_batch(self, spark, sf_dir, tmp_path):
+        """Incremental-equals-batch at the TRIPLE level: per-document
+        detection streamed micro-batch by micro-batch into the mention
+        staging sink, then the corpus-global compaction (assemble_kg)
+        over the accumulated sink — must emit EXACTLY the batch DAG's
+        triples, and the stream must actually have run incrementally
+        (> 1 non-empty micro-batch)."""
+        from qizner_spark.plans.pipeline import build_kg
+        from qizner_spark.streaming.pipeline import stream_kg_increments
+
+        pages = pages_from_documents(spark, sf_dir)
+        in_dir = str(tmp_path / "in")
+        # three part FILES -> three micro-batches at maxFilesPerTrigger=1
+        # (the streaming file source skips _SUCCESS: leading underscore)
+        pages.repartition(3).write.parquet(in_dir)
+
+        out = stream_kg_increments(spark, in_dir, str(tmp_path / "work"))
+        assert out["n_batches"] >= 2, "stream did not run incrementally"
+
+        batch = build_kg(spark, pages, persist_intermediates=False)["triples"]
+        cols = ["subj", "pred", "obj", "url", "warc_ts", "prob"]
+        s, b = out["triples"].select(cols), batch.select(cols)
+        assert s.exceptAll(b).count() == 0
+        assert b.exceptAll(s).count() == 0
+
     def test_windowed_counts_match_batch(self, spark, sf_dir, tmp_path):
         """Stateful streaming (watermark + event-time window) must
         aggree with the equivalent batch aggregation. availableNow
