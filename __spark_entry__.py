@@ -894,6 +894,89 @@ def _order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin join-back (TPC-H Q2 shape, lineitem standing in for
+    partsupp): per part, the supplier(s) quoting the minimum price.
+    The groupBy and the join-back share the l_partkey key, so the
+    aggregation's exchange is reused by the join — one shuffle of the
+    fact table total; min over stored doubles is a SELECTION (no
+    arithmetic), so the equality filter is engine-exact. Supplier and
+    part dims stay unhinted (AQE broadcasts them when genuinely
+    small)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    minp = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = (
+        li.join(minp, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+    )
+    return (
+        best.join(part, best["l_partkey"] == part["p_partkey"])
+        .join(supplier, best["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.round(F.col("min_price") * 100).cast("long").alias("min_price_cents"),
+        )
+    )
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the
+    training-data-pipeline op for per-language/per-domain corpus
+    subsampling where the sample must be STABLE under reprocessing
+    (random seeds drift across partitionings; an md5 rank never
+    does): keep the ceil(10%) lowest-hashed rows per stratum. One
+    exchange on the stratum key serves both windows (unordered count
+    + ordered row_number)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w_n = Window.partitionBy("o_orderpriority")
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("_h").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority",
+            F.md5(F.col("o_orderkey").cast("string")).alias("_h"),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("rnk", F.row_number().over(w_rn))
+        .where(F.col("rnk") <= F.ceil(F.col("_n") * F.lit(0.1)))
+        .select("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+def _priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quantile buckets: ntile(4) within each order
+    priority (deterministic total order: price then key), then
+    per-bucket counts and exact integer-cents sums. The window
+    PARTITIONS on the stratum key — never a global single-partition
+    sort, which is the ntile anti-pattern at scale."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("sum_cents"),
+            F.min("_cents").alias("min_cents"),
+            F.max("_cents").alias("max_cents"),
+        )
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1220,6 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue": _cumulative_revenue,
         "events_pivot": _events_pivot,
         "order_value_stats": _order_value_stats,
+        "min_price_supplier": _min_price_supplier,
+        "stratified_sample": _stratified_sample,
+        "priority_quartiles": _priority_quartiles,
         "tfidf_top_terms": _tfidf_top_terms,
         "comention_pagerank": _comention_pagerank,
         # multi-token span detection + prob-greedy flatten (L3/L10)
@@ -1648,6 +1734,50 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(o_totalprice), 2) AS stddev_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        # argmin join-back: suppliers achieving the per-part minimum
+        # price (min over stored doubles = selection, engine-exact)
+        "min_price_supplier": """
+            WITH li AS (SELECT l_partkey, l_suppkey, l_extendedprice FROM lineitem),
+            mn AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+                   FROM li GROUP BY l_partkey),
+            best AS (SELECT DISTINCT li.l_partkey, li.l_suppkey, mn.min_price
+                     FROM li JOIN mn ON li.l_partkey = mn.l_partkey
+                                    AND li.l_extendedprice = mn.min_price)
+            SELECT p.p_partkey, p.p_name, s.s_name,
+                   CAST(round(b.min_price * 100) AS BIGINT) AS min_price_cents
+            FROM best b
+            JOIN part p ON b.l_partkey = p.p_partkey
+            JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        """,
+        # deterministic md5-rank stratified sample: ceil(10%) lowest
+        # hashes per stratum (identical md5 hex both engines)
+        "stratified_sample": """
+            WITH keyed AS (
+                SELECT o_orderkey, o_orderpriority,
+                       md5(CAST(o_orderkey AS VARCHAR)) AS h,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                                   o_orderkey) AS rnk
+                FROM orders)
+            SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+            FROM keyed WHERE rnk <= ceil(n * 0.1)
+        """,
+        # per-stratum ntile(4) buckets over a deterministic total
+        # order; exact integer-cents aggregates
+        "priority_quartiles": """
+            WITH q AS (
+                SELECT o_orderpriority,
+                       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice, o_orderkey) AS INT)
+                           AS quartile,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT o_orderpriority, quartile, count(*) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   min(cents) AS min_cents, max(cents) AS max_cents
+            FROM q GROUP BY 1, 2
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

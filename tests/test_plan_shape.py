@@ -41,7 +41,8 @@ def plans(spark, sf_dir):
     token_counts, lang_id, quality_scores, doc_fingerprints,
     negative_sample, events_sessions, q1_pricing, full_mentions,
     flat_mentions, multimodal_features, cumulative_revenue,
-    events_pivot (both window/pivot-only), and
+    events_pivot (both window/pivot-only), stratified_sample and
+    priority_quartiles (partitioned-window-only), and
     top_orders_per_customer (join-free; its window-exchange shape is
     locked separately in TestExchangeShapes)."""
     import __spark_entry__ as em
@@ -63,6 +64,7 @@ def plans(spark, sf_dir):
         # round-5 additions
         "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
         "comention_pagerank",
+        "min_price_supplier",
         # constructing this one RUNS the availableNow stream first
         # (per-doc detection into the mention staging sink); the plan
         # under test is the corpus-global compaction (assemble_kg)
