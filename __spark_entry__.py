@@ -1193,6 +1193,24 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG READ path: per canonical entity, triple/doc/alias
+    counts and first/last observation — the per-entity rollup a
+    downstream KG consumer runs against the materialized triple
+    table. One groupBy on subj (the triple sink's partition bucket
+    key, so at scale the rollup is partition-local until the final
+    combine). Oracle: the kg_triples batch SQL wrapped as a
+    subquery."""
+    t = _kg_triples(spark, sf_dir)
+    return t.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("url").alias("n_docs"),
+        F.countDistinct("obj").alias("n_objects"),
+        F.min("warc_ts").alias("first_seen"),
+        F.max("warc_ts").alias("last_seen"),
+    )
+
+
 def _kg_stream_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL-equals-batch, hash-verified: the pages table lands
     as three single-file parquet drops, Structured Streaming
@@ -1318,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_triples_full": _kg_triples_full,
         "kg_stream_increments": _kg_stream_increments,
+        "entity_summary": _entity_summary,
     }
 
 
@@ -2010,4 +2029,13 @@ def oracle_sql() -> dict[str, str]:
     # the streaming-incremental flagship must reproduce the batch DAG
     # bit-for-bit, so its oracle IS the batch oracle
     sql["kg_stream_increments"] = sql["kg_triples"]
+    # KG read path: per-entity rollup over the batch oracle's triples
+    sql["entity_summary"] = f"""
+        SELECT subj, pred, count(*) AS n_triples,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+               min(warc_ts) AS first_seen, max(warc_ts) AS last_seen
+        FROM ({sql["kg_triples"]}) t
+        GROUP BY subj, pred
+    """
     return sql

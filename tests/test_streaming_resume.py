@@ -57,6 +57,43 @@ class TestStreaming:
         assert s.exceptAll(b).count() == 0
         assert b.exceptAll(s).count() == 0
 
+    def test_kg_increments_resume_on_new_drops(self, spark, sf_dir, tmp_path):
+        """Continuously-landing crawl: after the first invocation
+        drains the initial drop, NEW page files land and a second
+        invocation must (a) re-score only the new pages — the
+        streaming checkpoint skips processed files, so the mention
+        sink holds exactly one row set per page ever landed (no
+        duplicates = exactly-once across invocations) — and (b)
+        compact the grown sink to EXACTLY the batch DAG's triples
+        over all pages."""
+        from qizner_spark.plans.pipeline import build_kg
+        from qizner_spark.streaming.pipeline import stream_kg_increments
+
+        pages = pages_from_documents(spark, sf_dir)
+        first = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+        second = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+        in_dir, work = str(tmp_path / "in"), str(tmp_path / "work")
+
+        first.repartition(2).write.parquet(in_dir)
+        out1 = stream_kg_increments(spark, in_dir, work)
+        n_first = out1["mentions"].count()
+        assert out1["n_batches"] >= 1
+
+        second.repartition(2).write.mode("append").parquet(in_dir)
+        out2 = stream_kg_increments(spark, in_dir, work)
+        assert out2["n_batches"] >= 1, "second drop produced no micro-batch"
+
+        batch = build_kg(spark, pages, persist_intermediates=False)
+        n_all = batch["mentions"].count()
+        assert out2["mentions"].count() == n_all, \
+            "mention sink duplicated or dropped rows across invocations"
+        assert n_first < n_all  # the first drop really was partial
+
+        cols = ["subj", "pred", "obj", "url", "warc_ts", "prob"]
+        s, b = out2["triples"].select(cols), batch["triples"].select(cols)
+        assert s.exceptAll(b).count() == 0
+        assert b.exceptAll(s).count() == 0
+
     def test_windowed_counts_match_batch(self, spark, sf_dir, tmp_path):
         """Stateful streaming (watermark + event-time window) must
         aggree with the equivalent batch aggregation. availableNow
