@@ -65,6 +65,9 @@ def plans(spark, sf_dir):
         "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
         "comention_pagerank",
         "min_price_supplier",
+        # KG read path: the kg_triples DAG under a (subj, pred) rollup
+        # — same join inventory as the flagship
+        "entity_summary",
         # constructing this one RUNS the availableNow stream first
         # (per-doc detection into the mention staging sink); the plan
         # under test is the corpus-global compaction (assemble_kg)
