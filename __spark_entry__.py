@@ -496,6 +496,21 @@ def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
+def _entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity similarity by shared-document Jaccard over the SAME
+    capped per-doc entity set the co-mention edge build uses (KG
+    read path: "which entities co-occur in largely the same docs")."""
+    from qizner_spark.operators.graph import cooccurrence_jaccard
+    from qizner_spark.plans.pipeline import per_doc_entity_set
+
+    m = _ner_mentions(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
+    )
+    return cooccurrence_jaccard(
+        per_doc_entity_set(m, COMENTION_CAP), "url", "entity_id"
+    )
+
+
 _COMENTION_SQL = f"""
 WITH toks AS ({_NER_TOKS_SQL}),
 m0 AS (SELECT DISTINCT t.doc_id, t.mention
@@ -1281,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unlabeled_occurrences": _unlabeled_occurrences,
         "type_convert": _type_convert,
         "comention_edges": _comention_edges,
+        "entity_jaccard": _entity_jaccard,
         "connected_components": _connected_components,
         # evaluation (E1, E4, E6, E7)
         "eval_prf": _eval_prf,
@@ -1463,6 +1479,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ok1.ok AND NOT coalesce(ok2.ok, FALSE)
         """,
         "comention_edges": _COMENTION_SQL,
+        "entity_jaccard": f"""
+            WITH toks AS ({toks}),
+            m0 AS (SELECT DISTINCT t.doc_id, t.mention
+                   FROM toks t JOIN {gaz} USING (mention)),
+            r AS (SELECT doc_id, mention,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY mention) AS rn
+                  FROM m0),
+            m AS (SELECT doc_id, mention FROM r WHERE rn <= {COMENTION_CAP}),
+            sizes AS (SELECT mention, count(*) AS n FROM m GROUP BY 1),
+            inter AS (SELECT a.mention AS src, b.mention AS dst,
+                             count(*) AS n_common
+                      FROM m a JOIN m b
+                        ON a.doc_id = b.doc_id AND a.mention < b.mention
+                      GROUP BY 1, 2)
+            SELECT i.src, i.dst, i.n_common,
+                   sa.n AS n_src, sb.n AS n_dst,
+                   round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.src = sa.mention
+            JOIN sizes sb ON i.dst = sb.mention
+        """,
         "connected_components": f"""
             WITH RECURSIVE toks AS ({toks}),
             m0 AS (SELECT DISTINCT t.doc_id, t.mention

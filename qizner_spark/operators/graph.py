@@ -290,3 +290,54 @@ def pagerank(
              + damping * F.col("c")).alias("pr"),
         )
     return ranks
+
+
+def cooccurrence_jaccard(
+    membership: DataFrame,
+    key_col: str = "url",
+    item_col: str = "entity_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Jaccard similarity of item key-sets over a
+    (key, item) membership table: for every item pair sharing >= 1
+    key, ``|keys(a) & keys(b)| / |keys(a) | keys(b)|`` — the
+    entity-similarity read-path op over the co-mention graph (two
+    entities are similar when they appear in largely the same
+    documents; reference analog: the mention<->type co-occurrence
+    diagnostics around datautils.py:2439-2527, lifted from
+    mention-level counting to set similarity).
+
+    Scale shape: intersection counts come from the per-key self-join
+    — O(k^2) per key, so feed a per-key CAPPED membership (the
+    pipeline's ``per_doc_entity_set``) exactly like the co-mention
+    edge build; per-item set sizes are one map-side-combined groupBy;
+    the two size re-attach joins are UNHINTED equi-joins on the item
+    key (the item dimension is corpus-unbounded — AQE broadcasts only
+    when runtime stats say it's genuinely small, same doctrine as
+    ``broadcast_components``). Output is bounded by the pair count of
+    the capped self-join, not |items|^2.
+    """
+    m = membership.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = m.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(b, "k")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("item").alias("src"), F.col("n").alias("n_src")), "src")
+        .join(sizes.select(F.col("item").alias("dst"), F.col("n").alias("n_dst")), "dst")
+        .select(
+            "src", "dst", "n_common", "n_src", "n_dst",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_src") + F.col("n_dst") - F.col("n_common")),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )

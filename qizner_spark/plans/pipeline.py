@@ -121,6 +121,15 @@ def _per_doc_entities(linked: DataFrame,
     )
 
 
+# public name for the capped per-doc membership table (the co-mention
+# self-join input); entity-similarity reads (cooccurrence_jaccard)
+# must see the SAME capped set the edge build sees.
+def per_doc_entity_set(linked: DataFrame,
+                       max_entities_per_doc: int | None = DEFAULT_MAX_ENTITIES_PER_DOC
+                       ) -> DataFrame:
+    return _per_doc_entities(linked, max_entities_per_doc)
+
+
 def comention_edges(linked: DataFrame,
                     max_entities_per_doc: int | None = DEFAULT_MAX_ENTITIES_PER_DOC
                     ) -> DataFrame:

@@ -237,3 +237,49 @@ class TestPageRank:
             p = nxt
         for name, i in idx.items():
             assert abs(got[name] - p[i]) < 1e-12, name
+
+
+class TestCooccurrenceJaccard:
+    def _member(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, entity_id string")
+
+    def test_hand_computed_pairs(self, spark):
+        """docs(A)={d1,d2,d3}, docs(B)={d1,d2}, docs(C)={d3}:
+        J(A,B)=2/3, J(A,C)=1/3, B&C share nothing (no row)."""
+        from qizner_spark.operators.graph import cooccurrence_jaccard
+
+        m = self._member(spark, [
+            ("d1", "A"), ("d2", "A"), ("d3", "A"),
+            ("d1", "B"), ("d2", "B"),
+            ("d3", "C"),
+        ])
+        got = {(r.src, r.dst): r for r in cooccurrence_jaccard(m).collect()}
+        assert set(got) == {("A", "B"), ("A", "C")}
+        ab, ac = got[("A", "B")], got[("A", "C")]
+        assert (ab.n_common, ab.n_src, ab.n_dst) == (2, 3, 2)
+        assert ab.jaccard == round(2 / 3, 6)
+        assert (ac.n_common, ac.n_src, ac.n_dst) == (1, 3, 1)
+        assert ac.jaccard == round(1 / 3, 6)
+
+    def test_duplicate_membership_rows_ignored(self, spark):
+        """The distinct() makes repeat mentions of one entity in one
+        doc count once — set semantics, like the co-mention edges."""
+        from qizner_spark.operators.graph import cooccurrence_jaccard
+
+        m = self._member(spark, [
+            ("d1", "A"), ("d1", "A"), ("d1", "B"), ("d2", "B"),
+        ])
+        rows = cooccurrence_jaccard(m).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.src, r.dst, r.n_common, r.n_src, r.n_dst) == ("A", "B", 1, 1, 2)
+        assert r.jaccard == 0.5
+
+    def test_identical_sets_give_one(self, spark):
+        from qizner_spark.operators.graph import cooccurrence_jaccard
+
+        m = self._member(spark, [
+            ("d1", "X"), ("d2", "X"), ("d1", "Y"), ("d2", "Y"),
+        ])
+        rows = cooccurrence_jaccard(m).collect()
+        assert len(rows) == 1 and rows[0].jaccard == 1.0

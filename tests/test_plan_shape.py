@@ -68,6 +68,9 @@ def plans(spark, sf_dir):
         # KG read path: the kg_triples DAG under a (subj, pred) rollup
         # — same join inventory as the flagship
         "entity_summary",
+        # entity similarity: capped per-doc self-join + two unhinted
+        # size re-attach equi-joins
+        "entity_jaccard",
         # constructing this one RUNS the availableNow stream first
         # (per-doc detection into the mention staging sink); the plan
         # under test is the corpus-global compaction (assemble_kg)
