@@ -199,6 +199,11 @@ def _hyperplane_bucket_sql(vec: str, dim: int = 64, n_planes: int = 4, seed: int
 # comention/CC demos (no prob -> rank degenerates to mention ASC).
 COMENTION_CAP = 12
 
+# the hash_sample cutoff, shared verbatim by the Spark filter and the
+# DuckDB oracle (lexicographic hex compare == numeric compare)
+from qizner_spark.operators.sampling import md5_threshold as _md5_threshold_fn
+_md5_threshold_01 = _md5_threshold_fn(0.1)
+
 # the flagship oracle's page synthesis (mirrors sources/pages.py) and
 # its linking->CC->triple tail — shared verbatim by the single-token
 # (kg_triples) and full-gazetteer (kg_triples_full) oracles; both
@@ -948,7 +953,13 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (random seeds drift across partitionings; an md5 rank never
     does): keep the ceil(10%) lowest-hashed rows per stratum. One
     exchange on the stratum key serves both windows (unordered count
-    + ordered row_number)."""
+    + ordered row_number).
+
+    REGIME NOTE: the rank window puts an entire stratum in one task —
+    exact, and right for bounded strata (eval sets, per-corpus
+    splits). The 10^12-row path is ``hash_sample`` /
+    :func:`qizner_spark.operators.sampling.hash_threshold_sample`
+    (pure narrow md5-cutoff filter, ~frac per stratum, no sort)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w_n = Window.partitionBy("o_orderpriority")
     w_rn = Window.partitionBy("o_orderpriority").orderBy(
@@ -966,12 +977,32 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling SCALE PATH as a driver query: md5-cutoff filter
+    (no shuffle, no sort, no per-stratum state — every stratum lands
+    at ~frac automatically). Oracle = the identical md5 string
+    compare in DuckDB; both engines hash the same decimal string, so
+    the kept set is bit-identical."""
+    from qizner_spark.operators.sampling import hash_threshold_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hash_threshold_sample(orders, "o_orderkey", 0.1).select(
+        "o_orderpriority", "o_orderkey"
+    )
+
+
 def _priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum quantile buckets: ntile(4) within each order
     priority (deterministic total order: price then key), then
     per-bucket counts and exact integer-cents sums. The window
     PARTITIONS on the stratum key — never a global single-partition
-    sort, which is the ntile anti-pattern at scale."""
+    sort, which is the ntile anti-pattern at scale.
+
+    REGIME NOTE: a stratum window is still ONE task's sort — exact
+    ntile is for bounded strata; the 10^12-row path is
+    :func:`qizner_spark.operators.sampling.quantile_buckets_approx`
+    (percentile_approx sketch boundaries + broadcast bucketize,
+    never sorts)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
@@ -1339,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_stats": _order_value_stats,
         "min_price_supplier": _min_price_supplier,
         "stratified_sample": _stratified_sample,
+        "hash_sample": _hash_sample,
         "priority_quartiles": _priority_quartiles,
         "tfidf_top_terms": _tfidf_top_terms,
         "comention_pagerank": _comention_pagerank,
@@ -1819,6 +1851,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey
             FROM keyed WHERE rnk <= ceil(n * 0.1)
+        """,
+        # scale-path sampler: identical md5 hex cutoff in both engines
+        "hash_sample": f"""
+            SELECT o_orderpriority, o_orderkey
+            FROM orders
+            WHERE md5(CAST(o_orderkey AS VARCHAR)) < '{_md5_threshold_01}'
         """,
         # per-stratum ntile(4) buckets over a deterministic total
         # order; exact integer-cents aggregates

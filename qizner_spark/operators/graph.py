@@ -249,7 +249,12 @@ def pagerank(
     connected_components).
 
     Returns (node, pr) with pr UNROUNDED — callers hash-compare via
-    rank order + rounding appropriate to their tolerance."""
+    rank order + rounding appropriate to their tolerance.
+
+    Cluster note: ``localCheckpoint`` pins blocks to executors — on a
+    real cluster where executor loss must be survivable, set a
+    checkpoint dir and use reliable ``checkpoint()`` instead (one
+    line; same plan shape, storage-backed)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # cut lineage once: the weighted edge table is referenced by
     # EVERY iteration's join, and without the checkpoint each action

@@ -56,3 +56,74 @@ def negative_sample(
         .where(keep)
         .drop("_pos", "_n_pos", "_n_neg")
     )
+
+
+def md5_threshold(frac: float) -> str:
+    """32-hex-digit cutoff c with P[md5(key) < c] = ~frac under a
+    uniform digest: lexicographic compare of equal-length lowercase
+    hex IS numeric compare, and any engine's md5 of the same bytes
+    matches — so the kept set is reproducible in plain SQL."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    return format(int(frac * 16**32), "x").zfill(32)[:32]
+
+
+def hash_threshold_sample(
+    df: DataFrame, key_col: str, frac: float
+) -> DataFrame:
+    """The 10^12-row stratified-sampling SCALE PATH: keep rows whose
+    md5(key) falls below the ``frac`` cutoff — a pure NARROW filter.
+    No shuffle, no sort, no per-stratum state; every stratum is
+    sampled at ~frac automatically (Binomial(n_s, frac) per stratum,
+    relative error O(1/sqrt(frac*n_s)) — negligible at webtext
+    stratum sizes). Deterministic under any partitioning or
+    reprocessing, unlike seeded rand().
+
+    Regime split vs the exact windowed sampler (driver query
+    ``stratified_sample``): exact ceil(frac*n) per stratum needs a
+    per-stratum rank, and a rank window puts an ENTIRE stratum in one
+    task — correct only while every stratum fits a single task. Use
+    the exact variant for bounded strata (eval sets, per-corpus
+    splits), this one at corpus scale.
+    """
+    return df.where(
+        F.md5(F.col(key_col).cast("string")) < F.lit(md5_threshold(frac))
+    )
+
+
+def quantile_buckets_approx(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    n_buckets: int = 4,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The per-stratum quantile-bucket SCALE PATH: per-stratum
+    boundary estimates from ``percentile_approx`` (a map-side-
+    combinable sketch — ONE narrow aggregation pass, error bounded by
+    1/accuracy of rank), broadcast the |strata| x (n_buckets-1)
+    boundary table back, and bucketize by comparison in a second
+    narrow pass.
+
+    Regime split vs exact ntile (driver query ``priority_quartiles``):
+    ntile's window partitions on the stratum key, so one stratum =
+    one task's total sort — exact, but only while strata are
+    single-task sized. This variant never sorts; rows within
+    1/accuracy rank of a boundary may land one bucket off, everything
+    else matches ntile exactly.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(strata_col).agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("_bounds")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+    )
+    return (
+        df.join(F.broadcast(bounds), strata_col)
+        .withColumn(bucket_col, bucket)
+        .drop("_bounds")
+    )

@@ -42,7 +42,9 @@ def plans(spark, sf_dir):
     negative_sample, events_sessions, q1_pricing, full_mentions,
     flat_mentions, multimodal_features, cumulative_revenue,
     events_pivot (both window/pivot-only), stratified_sample and
-    priority_quartiles (partitioned-window-only), and
+    priority_quartiles (partitioned-window-only), hash_sample (pure
+    narrow filter — the one query whose POINT is having no exchange
+    at all), and
     top_orders_per_customer (join-free; its window-exchange shape is
     locked separately in TestExchangeShapes)."""
     import __spark_entry__ as em
@@ -342,6 +344,15 @@ class TestExchangeShapes:
         for p in parts:
             keys = [k.strip().split("#")[0] for k in p.split(",")[:-1]]  # last item = numPartitions
             assert set(keys) <= {"mention", "ent_type"}, p
+
+    def test_hash_sample_has_no_exchange(self, spark, sf_dir):
+        """The scale-path sampler's whole claim is ZERO data movement:
+        a narrow md5-cutoff filter over the scan. Any Exchange in its
+        plan means the claim regressed."""
+        import __spark_entry__ as em
+
+        plan = final_plan(em.queries()["hash_sample"](spark, sf_dir))
+        assert "Exchange" not in plan, plan
 
     def test_order_coverage_semi_anti_are_hash_joins(self, plans):
         """Semi + anti join must stay BHJ/SMJ (equi-join family)."""

@@ -150,3 +150,69 @@ class TestConfusionAndReport:
         write_mentions_html(path, docs, mentions)
         content = open(path).read()
         assert "<mark" in content and "hash join" in content and "OP" in content
+
+
+class TestScalePathSampling:
+    """The sort-free 10^12-row variants of stratified sampling and
+    per-stratum quantile bucketing (regime split documented on the
+    exact driver queries stratified_sample / priority_quartiles)."""
+
+    def test_md5_threshold_constant(self):
+        from qizner_spark.operators.sampling import md5_threshold
+
+        assert md5_threshold(0.0) == "0" * 32
+        assert len(md5_threshold(0.1)) == 32
+        # monotone in frac, and ~frac of hex space
+        assert md5_threshold(0.1) < md5_threshold(0.5) < md5_threshold(0.9)
+        assert md5_threshold(0.5)[0] == "8"
+        with pytest.raises(ValueError):
+            md5_threshold(1.5)
+
+    def test_hash_sample_fraction_and_determinism(self, spark):
+        from qizner_spark.operators.sampling import hash_threshold_sample
+
+        df = spark.range(20000).withColumn(
+            "stratum", (F.col("id") % 4).cast("string")
+        )
+        kept = hash_threshold_sample(df, "id", 0.1)
+        per_stratum = {
+            r["stratum"]: r["n"]
+            for r in kept.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # Binomial(5000, 0.1): every stratum within +-4 sigma of 500
+        for s, n in per_stratum.items():
+            assert 415 <= n <= 585, f"stratum {s}: {n}"
+        # deterministic under repartitioning (the whole point vs rand)
+        a = sorted(r["id"] for r in kept.collect())
+        b = sorted(
+            r["id"]
+            for r in hash_threshold_sample(df.repartition(17), "id", 0.1).collect()
+        )
+        assert a == b
+
+    def test_quantile_buckets_match_ntile_away_from_boundaries(self, spark):
+        from pyspark.sql import Window
+        from qizner_spark.operators.sampling import quantile_buckets_approx
+
+        df = spark.range(8000).select(
+            (F.col("id") % 2).cast("string").alias("stratum"),
+            (F.xxhash64("id") % 100000).alias("v"),
+            "id",
+        )
+        approx = quantile_buckets_approx(df, "stratum", "v", 4, bucket_col="b")
+        w = Window.partitionBy("stratum").orderBy(F.col("v"), F.col("id"))
+        exact = df.withColumn("q", F.ntile(4).over(w))
+        joined = approx.join(exact, ["stratum", "v", "id"]).select("b", "q")
+        rows = joined.collect()
+        assert len(rows) == 8000
+        agree = sum(1 for r in rows if r["b"] == r["q"])
+        # sketch accuracy 1e-4 of rank: disagreement only in boundary
+        # ties; demand >= 99% agreement and never more than 1 off
+        assert agree >= 0.99 * len(rows)
+        assert all(abs(r["b"] - r["q"]) <= 1 for r in rows)
+        # all four buckets populated in both strata
+        counts = {
+            (r["stratum"], r["b"])
+            for r in approx.select("stratum", "b").distinct().collect()
+        }
+        assert len(counts) == 8
