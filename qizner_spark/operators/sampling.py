@@ -98,6 +98,7 @@ def quantile_buckets_approx(
     n_buckets: int = 4,
     accuracy: int = 10000,
     bucket_col: str = "bucket",
+    broadcast_bounds: bool = False,
 ) -> DataFrame:
     """The per-stratum quantile-bucket SCALE PATH: per-stratum
     boundary estimates from ``percentile_approx`` (a map-side-
@@ -112,18 +113,28 @@ def quantile_buckets_approx(
     single-task sized. This variant never sorts; rows within
     1/accuracy rank of a boundary may land one bucket off, everything
     else matches ntile exactly.
+
+    ``broadcast_bounds`` (default False): the boundary table is
+    |strata| x (n_buckets-1) values — bounded for priority-like
+    strata, UNBOUNDED for domain-/url-like strata, so the re-attach
+    join is UNHINTED by default (AQE broadcasts exactly when runtime
+    stats say the side is genuinely small — same doctrine as
+    ``broadcast_components`` / ``broadcast_alias``). Pass True only
+    for a KNOWN-bounded stratum dimension.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(strata_col).agg(
         F.percentile_approx(value_col, probs, accuracy).alias("_bounds")
     )
+    if broadcast_bounds:
+        bounds = F.broadcast(bounds)
     bucket = F.lit(1) + F.aggregate(
         F.col("_bounds"),
         F.lit(0),
         lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
     )
     return (
-        df.join(F.broadcast(bounds), strata_col)
+        df.join(bounds, strata_col)
         .withColumn(bucket_col, bucket)
         .drop("_bounds")
     )
