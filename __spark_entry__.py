@@ -512,7 +512,8 @@ def _entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
     )
     return cooccurrence_jaccard(
-        per_doc_entity_set(m, COMENTION_CAP), "url", "entity_id"
+        per_doc_entity_set(m, COMENTION_CAP), "url", "entity_id",
+        assume_distinct=True,  # per_doc_entity_set ends in a groupBy on these cols
     )
 
 
@@ -1240,13 +1241,15 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The KG READ path: per canonical entity, triple/doc/alias
-    counts and first/last observation — the per-entity rollup a
-    downstream KG consumer runs against the materialized triple
-    table. One groupBy on subj (the triple sink's partition bucket
-    key, so at scale the rollup is partition-local until the final
-    combine). Oracle: the kg_triples batch SQL wrapped as a
-    subquery."""
+    """The KG READ path: per (canonical entity, predicate), the
+    triple count, distinct source-doc and distinct-object counts, and
+    first/last observation — the rollup a downstream KG consumer runs
+    against the triple table (recomputed through the DAG here so the
+    driver can verify it standalone; in production it reads the
+    materialized sink). One groupBy keyed on subj+pred — subj is the
+    sink's partition bucket key, so at scale the rollup is
+    partition-local until the final combine. Oracle: the kg_triples
+    batch SQL wrapped as a subquery."""
     t = _kg_triples(spark, sf_dir)
     return t.groupBy("subj", "pred").agg(
         F.count(F.lit(1)).alias("n_triples"),

@@ -302,6 +302,7 @@ def cooccurrence_jaccard(
     key_col: str = "url",
     item_col: str = "entity_id",
     round_dp: int = 6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Pairwise Jaccard similarity of item key-sets over a
     (key, item) membership table: for every item pair sharing >= 1
@@ -320,11 +321,21 @@ def cooccurrence_jaccard(
     key (the item dimension is corpus-unbounded — AQE broadcasts only
     when runtime stats say it's genuinely small, same doctrine as
     ``broadcast_components``). Output is bounded by the pair count of
-    the capped self-join, not |items|^2.
+    the capped self-join, not |items|^2. The ``inter`` stage computes
+    the same per-pair shared-key count as
+    ``plans.pipeline.comention_edges(...).groupBy(src, dst).count()``
+    — keep cap/dedup semantics in lockstep with that operator.
+
+    ``assume_distinct=True`` skips the defensive dedup when the
+    caller already guarantees one row per (key, item) — e.g.
+    ``per_doc_entity_set`` output, which ends in a groupBy on exactly
+    these columns — saving a full exchange over the membership table.
     """
     m = membership.select(
         F.col(key_col).alias("k"), F.col(item_col).alias("item")
-    ).distinct()
+    )
+    if not assume_distinct:
+        m = m.distinct()
     sizes = m.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a, b = m.alias("a"), m.alias("b")
     inter = (

@@ -62,10 +62,18 @@ def md5_threshold(frac: float) -> str:
     """32-hex-digit cutoff c with P[md5(key) < c] = ~frac under a
     uniform digest: lexicographic compare of equal-length lowercase
     hex IS numeric compare, and any engine's md5 of the same bytes
-    matches — so the kept set is reproducible in plain SQL."""
+    matches — so the kept set is reproducible in plain SQL.
+
+    frac=1.0 returns "g": every hex digit sorts below 'g', so the
+    ``md5(key) < c`` filter keeps ALL rows (a 32-hex cutoff cannot —
+    the all-'f' digest would be excluded; worse, truncating the
+    33-digit int(16**32) to 32 digits silently meant a 1/16 cutoff)."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
-    return format(int(frac * 16**32), "x").zfill(32)[:32]
+    cut = int(frac * 16**32)
+    if cut >= 16**32:
+        return "g"
+    return format(cut, "x").zfill(32)
 
 
 def hash_threshold_sample(
@@ -110,9 +118,17 @@ def quantile_buckets_approx(
     Regime split vs exact ntile (driver query ``priority_quartiles``):
     ntile's window partitions on the stratum key, so one stratum =
     one task's total sort — exact, but only while strata are
-    single-task sized. This variant never sorts; rows within
-    1/accuracy rank of a boundary may land one bucket off, everything
-    else matches ntile exactly.
+    single-task sized. This variant never sorts. Agreement contract:
+    bucketing here is VALUE-based — all rows tying on a boundary
+    value land in the same bucket, where rank-based ntile force-
+    splits ties to equalize bucket sizes. On tie-free values the two
+    disagree only within 1/accuracy rank of a boundary (one bucket
+    off); on heavily tied values (constant columns, sentinel spikes)
+    they diverge arbitrarily and the value-based assignment is the
+    semantically right one for data bucketing (equal values belong
+    together). NULL stratum keys are kept (null-safe join below) and
+    bucketize among themselves, matching the window path's behavior
+    of treating NULL as its own partition.
 
     ``broadcast_bounds`` (default False): the boundary table is
     |strata| x (n_buckets-1) values — bounded for priority-like
@@ -125,7 +141,7 @@ def quantile_buckets_approx(
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(strata_col).agg(
         F.percentile_approx(value_col, probs, accuracy).alias("_bounds")
-    )
+    ).withColumnRenamed(strata_col, "_qb_stratum")
     if broadcast_bounds:
         bounds = F.broadcast(bounds)
     bucket = F.lit(1) + F.aggregate(
@@ -133,8 +149,11 @@ def quantile_buckets_approx(
         F.lit(0),
         lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
     )
+    # null-safe equality: the groupBy above produces a NULL-stratum
+    # group, and a plain equi-join would silently DROP every
+    # NULL-stratum row (NULL != NULL)
     return (
-        df.join(bounds, strata_col)
+        df.join(bounds, F.col(strata_col).eqNullSafe(F.col("_qb_stratum")))
         .withColumn(bucket_col, bucket)
-        .drop("_bounds")
+        .drop("_bounds", "_qb_stratum")
     )

@@ -165,8 +165,18 @@ class TestScalePathSampling:
         # monotone in frac, and ~frac of hex space
         assert md5_threshold(0.1) < md5_threshold(0.5) < md5_threshold(0.9)
         assert md5_threshold(0.5)[0] == "8"
+        # frac=1.0 must keep EVERYTHING: 'g' sorts above every hex
+        # digest (the naive 33-digit->32 truncation meant a 1/16 cut)
+        assert md5_threshold(1.0) == "g"
+        assert "f" * 32 < md5_threshold(1.0)
         with pytest.raises(ValueError):
             md5_threshold(1.5)
+
+    def test_hash_sample_frac_one_is_identity(self, spark):
+        from qizner_spark.operators.sampling import hash_threshold_sample
+
+        df = spark.range(500)
+        assert hash_threshold_sample(df, "id", 1.0).count() == 500
 
     def test_hash_sample_fraction_and_determinism(self, spark):
         from qizner_spark.operators.sampling import hash_threshold_sample
@@ -216,3 +226,30 @@ class TestScalePathSampling:
             for r in approx.select("stratum", "b").distinct().collect()
         }
         assert len(counts) == 8
+
+    def test_quantile_buckets_keep_null_stratum(self, spark):
+        """NULL stratum keys must bucketize among themselves, not
+        silently vanish (a plain equi-join drops NULL != NULL)."""
+        from qizner_spark.operators.sampling import quantile_buckets_approx
+
+        df = spark.range(400).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise(None).alias("stratum"),
+            F.col("id").alias("v"),
+        )
+        out = quantile_buckets_approx(df, "stratum", "v", 4, bucket_col="b")
+        assert out.count() == 400
+        null_rows = out.where(F.col("stratum").isNull())
+        assert null_rows.count() == 200
+        assert null_rows.select("b").distinct().count() == 4
+
+    def test_quantile_buckets_tied_values_share_bucket(self, spark):
+        """Value-based contract: ALL ties of one value land in ONE
+        bucket (ntile would force-split them); the docstring's
+        ntile-agreement claim applies to tie-free values only."""
+        from qizner_spark.operators.sampling import quantile_buckets_approx
+
+        df = spark.range(1000).select(
+            F.lit("s").alias("stratum"), F.lit(7).alias("v")
+        )
+        out = quantile_buckets_approx(df, "stratum", "v", 4, bucket_col="b")
+        assert out.select("b").distinct().count() == 1
