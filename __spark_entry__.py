@@ -1037,6 +1037,58 @@ def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical PREDICATE-PUSHDOWN query: all
+    four filters are scan-level conjuncts that must reach the parquet
+    reader as PushedFilters (locked by
+    tests/test_plan_shape.py::test_q6_filters_reach_the_scan), so at
+    10^12 rows row groups outside the date/discount/quantity ranges
+    never leave the files. Revenue terms are cast DECIMAL(18,6)
+    before the sum — order-independent addition, so the result is
+    bit-stable under any partitioning (a raw double sum flips its
+    last ulp with partition count)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    term = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(term), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-subquery join: aggregate lineitem to
+    per-order totals FIRST (map-side-combined groupBy collapses ~4-7
+    rows per key before any join), filter to the rare heavy orders,
+    then join back to orders/customer. The selective aggregate-then-
+    join ordering is the point at scale: joining first would carry
+    every lineitem row through the orders join only to discard >97%
+    at the HAVING. Quantities are integral doubles, so the sums are
+    exact and cast to BIGINT losslessly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey"),
+            F.col("total_qty"),
+        )
+    )
+
+
 def _q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1364,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _events_rollup,
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
+        "q6_forecast": _q6_forecast,
+        "q18_large_orders": _q18_large_orders,
         "q5_region_revenue": _q5_region_revenue,
         "order_coverage": _order_coverage,
         "top_orders_per_customer": _top_orders_per_customer,
@@ -1884,6 +1938,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY 1, 2
+        """,
+        # Q6: decimal-cast terms -> order-independent sum -> round ->
+        # double, mirrored exactly on the Spark side
+        "q6_forecast": """
+            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                                        AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        # Q18: aggregate-then-join (HAVING subquery)
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY 1 HAVING total_qty > 200)
+            SELECT o_custkey AS c_custkey, o_orderkey, total_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
         """,
         "q3_topk": """
             SELECT l_orderkey,

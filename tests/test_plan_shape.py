@@ -44,7 +44,8 @@ def plans(spark, sf_dir):
     events_pivot (both window/pivot-only), stratified_sample and
     priority_quartiles (partitioned-window-only), hash_sample (pure
     narrow filter — the one query whose POINT is having no exchange
-    at all), and
+    at all), q6_forecast (filter+agg, join-free; its pushdown shape
+    is locked in TestExchangeShapes), and
     top_orders_per_customer (join-free; its window-exchange shape is
     locked separately in TestExchangeShapes)."""
     import __spark_entry__ as em
@@ -65,7 +66,7 @@ def plans(spark, sf_dir):
         "kg_triples_full",
         # round-5 additions
         "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
-        "comention_pagerank",
+        "comention_pagerank", "q18_large_orders",
         "min_price_supplier",
         # KG read path: the kg_triples DAG under a (subj, pred) rollup
         # — same join inventory as the flagship
@@ -344,6 +345,18 @@ class TestExchangeShapes:
         for p in parts:
             keys = [k.strip().split("#")[0] for k in p.split(",")[:-1]]  # last item = numPartitions
             assert set(keys) <= {"mention", "ent_type"}, p
+
+    def test_q6_filters_reach_the_scan(self, spark, sf_dir):
+        """All four Q6 predicates must arrive at the parquet reader
+        as PushedFilters — a post-scan Filter over unpruned row
+        groups reads the whole table at 10^12 rows."""
+        import __spark_entry__ as em
+
+        plan = final_plan(em.queries()["q6_forecast"](spark, sf_dir))
+        assert "PushedFilters: [" in plan
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, f"{col} not pushed: {pushed}"
 
     def test_hash_sample_has_no_exchange(self, spark, sf_dir):
         """The scale-path sampler's whole claim is ZERO data movement:
