@@ -40,6 +40,31 @@ def _gaz_prob_values(gaz: dict[str, str] | None = None) -> str:
     return f"(VALUES {rows}) AS gazp(mention, ent_type, prob)"
 
 
+def _seq_prob_const() -> float:
+    """The BIO/Viterbi path's per-mention probability on the single-
+    token gazetteer is a CONSTANT: every dictionary hit gets emission
+    ``strength`` at its B-tag and the I2 assembly attaches the mean
+    (here: single-token) emission-softmax prob rounded to 4. Extract
+    it by scoring one surface through the real scorer so the oracle
+    literal reproduces the exact numpy float path (a closed-form
+    e^s/(e^s+K-1) differs in the last ulp from the max-subtracted
+    softmax the scorer actually computes)."""
+    from qizner_spark.core.scoring import GazetteerSeqScorer
+
+    scorer = GazetteerSeqScorer(GAZETTEER_SINGLE)
+    surface = next(iter(sorted(GAZETTEER_SINGLE)))
+    return scorer.score_mentions([surface])[0][3]
+
+
+def _gaz_seqprob_values() -> str:
+    """Gazetteer VALUES carrying the seq path's constant prob."""
+    p = _seq_prob_const()
+    rows = ", ".join(
+        f"('{m}', '{t}', {p!r})" for m, t in sorted(GAZETTEER_SINGLE.items())
+    )
+    return f"(VALUES {rows}) AS gazp(mention, ent_type, prob)"
+
+
 def _kgram_spans_sql(key: str, gaz: dict[str, str]) -> str:
     """CTE fragment: all contiguous k-gram spans (k = 1..max surface
     length) of a token-list CTE ``t({key}, warc?, toks)`` that match
@@ -1292,6 +1317,34 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_seq_factory():
+    from qizner_spark.core.scoring import GazetteerSeqScorer
+
+    return GazetteerSeqScorer(GAZETTEER_SINGLE)
+
+
+def _kg_triples_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star parity: the reference's SECOND model family — BIO
+    sequence labeling with CRF/Viterbi decoding (M14/M16 + I2
+    assembly) — driving the SAME end-to-end KG DAG as the span path.
+    Detection swaps scorer families inside the one mapInPandas;
+    every downstream stage (linking, co-mention, CC, triple assembly)
+    is untouched — the pipeline is detection-family agnostic by
+    construction. Mention prob is the seq path's mean
+    emission-softmax constant (see ``_seq_prob_const``), so the
+    oracle is the kg_triples SQL over seq-prob gazetteer VALUES."""
+    from qizner_spark.plans.pipeline import build_kg_from_sf_dir
+
+    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_seq_factory,
+                             broadcast_alias=True,
+                             max_entities_per_doc=COMENTION_CAP)["triples"]
+    return t.select(
+        "subj", "pred", "obj", "url",
+        F.col("warc_ts").cast("long").alias("warc_ts"),
+        F.round(F.col("prob").cast("double"), 6).alias("prob"),
+    )
+
+
 def _entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KG READ path: per (canonical entity, predicate), the
     triple count, distinct source-doc and distinct-object counts, and
@@ -1440,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "kg_triples": _kg_triples,
         "kg_triples_full": _kg_triples_full,
+        "kg_triples_seq": _kg_triples_seq,
         "kg_stream_increments": _kg_stream_increments,
         "entity_summary": _entity_summary,
     }
@@ -2097,6 +2151,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(gazp.prob AS DOUBLE) AS prob,
                        'kb:' || gazp.ent_type || ':' || lower(t.mention) AS entity_id
                 FROM toks t JOIN {_gaz_prob_values()} USING (mention)),
+            {_KG_TAIL_SQL}
+        """,
+        # the BIO/Viterbi detection family through the identical KG
+        # tail: same mention set on the single-token dictionary, seq
+        # constant prob (see _seq_prob_const)
+        "kg_triples_seq": f"""
+            WITH RECURSIVE
+            {_KG_PAGES_SQL},
+            toks AS (SELECT url, warc_ts, unnest(string_split(text, ' ')) AS mention FROM pages),
+            linked AS (
+                SELECT t.url, t.warc_ts, t.mention, gazp.ent_type,
+                       CAST(gazp.prob AS DOUBLE) AS prob,
+                       'kb:' || gazp.ent_type || ':' || lower(t.mention) AS entity_id
+                FROM toks t JOIN {_gaz_seqprob_values()} USING (mention)),
             {_KG_TAIL_SQL}
         """,
         # the same chain with the FULL (multi-token) gazetteer: k-gram

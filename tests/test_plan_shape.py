@@ -71,6 +71,9 @@ def plans(spark, sf_dir):
         # KG read path: the kg_triples DAG under a (subj, pred) rollup
         # — same join inventory as the flagship
         "entity_summary",
+        # the BIO/Viterbi detection family through the identical KG
+        # tail — must keep the flagship's join inventory too
+        "kg_triples_seq",
         # entity similarity: capped per-doc self-join + two unhinted
         # size re-attach equi-joins
         "entity_jaccard",
