@@ -1088,6 +1088,25 @@ def _q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — aggregate-of-aggregate histogram: per-
+    customer order counts (LEFT join keeps zero-order customers as
+    count 0), then the distribution of those counts. Two groupBys
+    where the second input is |customers| rows of two ints — the
+    histogram stage is negligible at any scale; the left join is the
+    only real shuffle and both sides are key-partitioned."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape — HAVING-subquery join: aggregate lineitem to
     per-order totals FIRST (map-side-combined groupBy collapses ~4-7
@@ -1470,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
         "q6_forecast": _q6_forecast,
+        "q13_order_distribution": _q13_order_distribution,
         "q18_large_orders": _q18_large_orders,
         "q5_region_revenue": _q5_region_revenue,
         "order_coverage": _order_coverage,
@@ -2004,6 +2024,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # Q13: aggregate-of-aggregate histogram (LEFT join keeps
+        # zero-order customers)
+        "q13_order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
         """,
         # Q18: aggregate-then-join (HAVING subquery)
         "q18_large_orders": """

@@ -67,6 +67,7 @@ def plans(spark, sf_dir):
         # round-5 additions
         "q7_nation_volume", "order_value_stats", "tfidf_top_terms",
         "comention_pagerank", "q18_large_orders",
+        "q13_order_distribution",
         "min_price_supplier",
         # KG read path: the kg_triples DAG under a (subj, pred) rollup
         # — same join inventory as the flagship

@@ -178,6 +178,28 @@ class TestScalePathSampling:
         df = spark.range(500)
         assert hash_threshold_sample(df, "id", 1.0).count() == 500
 
+    def test_hash_sample_nested_subsets(self):
+        """Monotone subset property (pure python replica of the SQL
+        semantics): the kept set at a smaller frac is a SUBSET of the
+        kept set at any larger frac — enlarging a sample never churns
+        rows already sampled, the property that makes hash sampling
+        safe to re-run at a new rate mid-pipeline."""
+        import hashlib
+
+        from qizner_spark.operators.sampling import md5_threshold
+
+        keys = [str(i) for i in range(5000)]
+        digests = {k: hashlib.md5(k.encode()).hexdigest() for k in keys}
+        kept = {
+            frac: {k for k in keys if digests[k] < md5_threshold(frac)}
+            for frac in (0.01, 0.1, 0.33, 0.5, 0.9, 1.0)
+        }
+        fracs = sorted(kept)
+        assert kept[1.0] == set(keys)
+        for lo, hi in zip(fracs, fracs[1:]):
+            assert kept[lo] <= kept[hi], f"{lo} not subset of {hi}"
+            assert len(kept[lo]) < len(kept[hi])
+
     def test_hash_sample_fraction_and_determinism(self, spark):
         from qizner_spark.operators.sampling import hash_threshold_sample
 
