@@ -289,7 +289,29 @@ _KG_TAIL_SQL = f"""ent_rank AS (
 # ---------------------------------------------------------------------------
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents scan, widened to the session's parallelism: the
+    sandbox generator writes ONE parquet row group, which would pin
+    every Arrow pass / explode / regex projection downstream to a
+    single task (guide §2.5 input skew). At production layouts (input
+    pre-split >= cores) the helper is a pure no-op."""
+    from qizner_spark.session import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qizner_spark.session import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened via ensure_scan_parallelism: every events query
+    # immediately re-keys (user_id window / groupBy), so a round-robin
+    # exchange would just shuffle the table twice — measured 1.2 s ->
+    # 2.3 s on events_sessions at sf1.0. The narrow native scan is
+    # cheap even single-task; the keyed exchange parallelizes the rest.
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _gazetteer_df(spark: SparkSession) -> DataFrame:
@@ -651,7 +673,7 @@ def _negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, k=10).select("query_id", "nbr_id", "rank")
 
@@ -659,7 +681,7 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function demo (SURVEY §2.9 windows): sessionize events
     per user at a 30-minute gap."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
     # ts is TIMESTAMP_NTZ; session tz is UTC so the epoch matches
     # DuckDB's epoch() on the same values
@@ -684,7 +706,7 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join pair explosion). Oracle: DuckDB's native ASOF JOIN."""
     from qizner_spark.operators.relational import asof_join_backward
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", "ts"
     )
@@ -705,7 +727,7 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (user x event_type -> user -> grand total)
     — the hypertable-rollup shape on the events table."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return (
         ev.rollup("user_id", "event_type")
         .agg(
@@ -894,7 +916,7 @@ def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     column per event type. The value list is EXPLICIT, so no extra
     distinct pass runs to discover columns (at 10^12 rows that
     discovery scan is a full extra job)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     return (
         ev.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)))
@@ -1168,14 +1190,14 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist; planted-duplicate semantics are pytest-verified."""
     from qizner_spark.operators.dedup import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return embedding_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4)
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.similarity import ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     # rank only: cosine's last ulp may differ between engines
     # broadcast_queries=True: this caller KNOWS the query set is 5
     # rows (the guard's documented bounded-small contract)
@@ -1196,7 +1218,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_recall.py)."""
     from qizner_spark.operators.similarity import ann_topk, brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 50)
     ann = ann_topk(emb, queries, k=10, n_planes=4, dim=64,
                    multiprobe_bits=3,
@@ -1219,7 +1241,7 @@ def _near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.dedup import embedding_near_dup_pairs
     from qizner_spark.operators.similarity import exact_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     exact = exact_cosine_pairs(emb, threshold=0.35).select("id_a", "id_b")
     cand = embedding_near_dup_pairs(emb, threshold=0.35, dim=64, n_planes=4,
                                     max_hamming=3).select("id_a", "id_b")

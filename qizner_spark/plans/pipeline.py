@@ -196,7 +196,16 @@ def build_kg(
     :func:`~qizner_spark.operators.linking.link_mentions`)."""
     scorer_factory = scorer_factory or default_scorer_factory
 
+    from qizner_spark.session import ensure_scan_parallelism
+
     docs = extract_pages_text(pages).where(F.col("extract_ok") == 1).drop("extract_ok")
+    # Widen an under-split source (single-row-group sandbox parquet:
+    # guide §2.5 "one huge unsplittable file") so the Arrow detection
+    # pass below uses every core — placed AFTER the html drop so only
+    # the narrow extracted columns ever cross the exchange, and after
+    # any caller-side limit so row selection stays deterministic. At
+    # production layouts (input pre-split >= parallelism) it's a no-op.
+    docs = ensure_scan_parallelism(docs)
 
     # provenance (warc_ts) rides THROUGH the Arrow pass on every
     # mention row instead of a join back to the pages table: a
@@ -242,73 +251,124 @@ def assemble_kg(
     table — the periodic compaction pass of a continuously-landing
     crawl. Streaming detection + this over the sink is therefore
     identical to the batch DAG by construction (hash-verified
-    end-to-end by the ``kg_stream_increments`` driver oracle)."""
+    end-to-end by the ``kg_stream_increments`` driver oracle).
+
+    Shuffle inventory (round-6 restructure): every triple branch and
+    the CC edge build are re-aggregations of ONE shared
+    (url, entity_id, mention, ent_type)-level rollup (``ent_pre``):
+
+      * the groupBy collapses the k repeat-mentions of an entity
+        inside a document map-side BEFORE anything shuffles (guide
+        §2.3 "aggregate before you shuffle" — detection emits whole
+        documents per partition, so the partial aggregate removes the
+        duplication at the source);
+      * one repartition(url) then establishes the partitioning every
+        downstream consumer needs — branch groupBys (url-superset
+        keys), the cap window (url partition), the co-mention
+        self-join (url key) and its pair-fold groupBy all plan ZERO
+        further exchanges;
+      * ``ent_pre`` is persisted: the eager CC phase and the triples
+        action both read it, and (measured, round 6) per-branch column
+        pruning otherwise specializes each branch's copy of the
+        subtree so exchange reuse NEVER fires — the previous
+        "shared" canon exchange really ran four times, shuffling the
+        full mention table once per branch.
+
+    prob/warc_ts fold exactly (min/max are order-independent), so the
+    triples are hash-identical to the mention-level formulation —
+    oracle-verified by the kg_triples / kg_triples_full /
+    kg_triples_seq / kg_stream_increments driver queries."""
     alias = build_alias_dictionary(mentions)
     linked = link_mentions(mentions, alias, broadcast_alias=broadcast_alias)
 
+    from pyspark import StorageLevel
+
     from qizner_spark.operators.graph import DEFAULT_SALT_BUCKETS
 
-    edges = comention_edges(linked, max_entities_per_doc=max_entities_per_doc)
-    components = assign_components(
-        linked.select(F.col("entity_id").alias("node")), edges.select("src", "dst"),
-        salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
-    ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
-
-    comp_side = F.broadcast(components) if broadcast_components else components
-    # ONE url-hash shuffle feeds the whole assembly: HashPartitioning
-    # on url satisfies every branch's ClusteredDistribution (their
-    # groupBy keys are url-supersets) AND the co-mention self-join on
-    # url, so no branch adds its own exchange — the three branches
-    # share this one shuffle as a ReusedExchange. Without it each
-    # branch re-shuffled the mention table independently (measured
-    # anti-scaling 9.6 s -> 16.0 s at local[4] -> local[16]).
-    canon = linked.join(comp_side, "entity_id").repartition(F.col("url"))
-
-    # Branch-local aggregation replaces a global dropDuplicates over
-    # the unioned triples: each branch groups on ITS OWN key while the
-    # rows are still narrow, so nothing re-shuffles after the union.
-    # prob = min of contributing mention probs (FIXTURES.md F5).
-    type_triples = canon.groupBy("url", "canonical_id", "ent_type").agg(
-        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
-    ).select(
-        F.col("canonical_id").alias("subj"), F.lit("type").alias("pred"),
-        F.col("ent_type").alias("obj"), "url", "warc_ts", "prob",
+    ent_pre = (
+        linked.groupBy("url", "entity_id", "mention", "ent_type")
+        .agg(
+            F.min("warc_ts").alias("warc_ts"),
+            F.min("prob").alias("prob"),
+            F.max("prob").alias("_rp"),
+        )
+        .repartition(F.col("url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    alias_triples = canon.groupBy("url", "canonical_id", "mention").agg(
-        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
-    ).select(
-        F.col("canonical_id").alias("subj"), F.lit("alias").alias("pred"),
-        F.col("mention").alias("obj"), "url", "warc_ts", "prob",
+    # per-(url, entity) rollup feeding the cap window and the
+    # co-mention self-join; entity_id embeds ent_type and the
+    # normalized surface, so this is the per-doc DISTINCT entity set.
+    ent_url = ent_pre.groupBy("url", "entity_id").agg(
+        F.min("warc_ts").alias("warc_ts"),
+        F.min("prob").alias("prob"),
+        F.max("_rp").alias("_rank_prob"),
     )
-    # co-mention edges: pairs over the per-doc DISTINCT entity set,
-    # endpoints rewritten to canonical ids (north_star: CC runs over
-    # the co-mention graph itself, so co-mentioned entities often
-    # share a component — subj == obj is then an intra-cluster edge).
-    # The self-join input is pre-deduped; the only post-join shuffle is
-    # one groupBy that folds duplicate canonical pairs per url.
-    # The same per-doc entity cap applied to the triple-edge branch:
-    # ranked identically to _per_doc_entities (max prob DESC,
-    # entity_id ASC), so the CC edge graph and the mentioned_with
-    # triples see the SAME capped entity set. The rank window
-    # partitions on url — satisfied by the repartition above, no new
-    # exchange.
-    ent_doc = canon.groupBy("url", "entity_id", "canonical_id").agg(
-        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob"),
-        F.max("prob").alias("_rank_prob"),
-    )
+    # Per-doc entity cap: rank = max mention prob DESC, entity_id ASC
+    # — identical to _per_doc_entities, so the CC edge graph and the
+    # mentioned_with triples see the SAME capped entity set.
     if max_entities_per_doc is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("url").orderBy(
             F.col("_rank_prob").desc(), F.col("entity_id").asc()
         )
-        ent_doc = ent_doc.withColumn("_rn", F.row_number().over(w)).where(
+        capped = ent_url.withColumn("_rn", F.row_number().over(w)).where(
             F.col("_rn") <= max_entities_per_doc
         ).drop("_rn")
-    ent_doc = ent_doc.drop("_rank_prob")
-    a, b = ent_doc.alias("a"), ent_doc.alias("b")
+    else:
+        capped = ent_url
+    capped = capped.drop("_rank_prob")
+
+    # Co-mention pair enumeration runs ONCE over the capped per-doc
+    # entity set (url-partitioned: the self-join plans no exchange).
+    pa, pb = capped.alias("a"), capped.alias("b")
+    pair_rows = pa.join(pb, "url").where(F.col("a.entity_id") < F.col("b.entity_id"))
+    # same rows comention_edges(linked, cap) produces, minus its
+    # private re-shuffle of the mention table
+    edges = pair_rows.select(
+        F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"),
+        F.col("url"),
+    )
+    components = assign_components(
+        ent_pre.select(F.col("entity_id").alias("node")), edges.select("src", "dst"),
+        salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
+    ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
+
+    comp_side = F.broadcast(components) if broadcast_components else components
+    # canonical ids attach per BRANCH against the cached rollup — a
+    # broadcast-hash join preserves the url partitioning, so the
+    # branch aggregations below still plan no exchange. (Unhinted by
+    # default: AQE broadcasts exactly when components is genuinely
+    # small — the broadcast_components doctrine, see build_kg.)
+    pre_canon = ent_pre.join(comp_side, "entity_id")
+
+    # Branch-local aggregation replaces a global dropDuplicates over
+    # the unioned triples: each branch groups on ITS OWN key while the
+    # rows are still narrow, so nothing re-shuffles after the union.
+    # prob = min of contributing mention probs (FIXTURES.md F5);
+    # min-of-mins over the rollup == min over mention rows.
+    type_triples = pre_canon.groupBy("url", "canonical_id", "ent_type").agg(
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+    ).select(
+        F.col("canonical_id").alias("subj"), F.lit("type").alias("pred"),
+        F.col("ent_type").alias("obj"), "url", "warc_ts", "prob",
+    )
+    alias_triples = pre_canon.groupBy("url", "canonical_id", "mention").agg(
+        F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob")
+    ).select(
+        F.col("canonical_id").alias("subj"), F.lit("alias").alias("pred"),
+        F.col("mention").alias("obj"), "url", "warc_ts", "prob",
+    )
+    # co-mention edge triples: the SAME pair enumeration as the CC
+    # edges, endpoints rewritten to canonical ids (north_star: CC runs
+    # over the co-mention graph itself, so co-mentioned entities often
+    # share a component — subj == obj is then an intra-cluster edge).
+    # The only aggregation is the per-url canonical-pair fold, and its
+    # key set contains url — still no exchange.
+    ent_doc = capped.join(comp_side, "entity_id")
+    ea, eb = ent_doc.alias("a"), ent_doc.alias("b")
     canon_edges = (
-        a.join(b, "url")
+        ea.join(eb, "url")
         .where(F.col("a.entity_id") < F.col("b.entity_id"))
         .groupBy(
             F.col("url"),
@@ -323,6 +383,9 @@ def assemble_kg(
                 F.col("obj"), "url", "warc_ts", "prob")
     )
     triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
+    # the persisted rollup's lineage belongs to the CALLER, mirroring
+    # minhash_dedup_pairs / build_kg's mentions persist
+    triples._qizner_persisted = ent_pre
 
     return {
         "alias": alias,

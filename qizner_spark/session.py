@@ -17,9 +17,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW source up to the session's
+    default parallelism when the file layout under-splits it.
+
+    A parquet file is only splittable at row-group boundaries, so a
+    single-row-group file (or a gzip text file) pins every downstream
+    map stage — Arrow passes, explodes, regex projections — to ONE
+    task regardless of cluster size (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+    The repartition moves only the narrow source rows once; at real
+    scale inputs arrive pre-split into >= parallelism partitions and
+    this is a no-op (the partition probe is driver-side planning, no
+    job). Derived heavy columns (html wrap, token explode, signatures)
+    must be computed AFTER this call so only source bytes shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _launcher_has_master() -> bool:

@@ -56,6 +56,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     url embeds the source as the domain (webtext skew: a few hot
     domains dominate); warc_ts is a deterministic function of doc_id.
     """
+    # NOTE: deliberately NOT widened with ensure_scan_parallelism
+    # here — callers routinely take pages.limit(n) slices, and a
+    # round-robin exchange under a limit makes the selected rows
+    # action-dependent. build_kg widens AFTER the html drop instead.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(
