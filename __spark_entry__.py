@@ -533,17 +533,52 @@ def _eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compare_runs_df(pred2, pred, gold)
 
 
-def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-mention pair counting through the capped pipeline operator
-    (no prob column -> rank degenerates to entity_id ASC, i.e. the
-    first COMENTION_CAP mentions alphabetically per doc)."""
-    from qizner_spark.plans.pipeline import comention_edges
+def _per_doc_entity_array(spark: SparkSession, sf_dir: str,
+                          cap: int | None = COMENTION_CAP) -> DataFrame:
+    """Capped per-doc DISTINCT entity set as ONE native projection:
+    ``slice(sort_array(array_intersect(tokens, gazetteer)), 1, cap)``.
 
-    m = _ner_mentions(spark, sf_dir).select(
-        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
+    Row-for-row identical to routing the relational gazetteer
+    mentions through ``per_doc_entity_set(m, cap)`` — that path has
+    no prob column, so the pipeline's rank (max prob DESC, entity_id
+    ASC) degenerates to entity_id ASC, which is exactly the sorted
+    array's first ``cap`` elements. The rewrite replaces the token
+    explode + dictionary join + url exchange + groupBy + rank window
+    (four shuffling operators over the token/mention tables) with a
+    zero-shuffle narrow projection (guide §2.4 "remove shuffles
+    outright"); the closed gazetteer inlines as an array literal.
+    Only valid for the PROBLESS relational demos — the kg_* DAGs rank
+    by detection prob and keep the operator path."""
+    gaz = ", ".join(f"'{m}'" for m in sorted(GAZETTEER_SINGLE))
+    ents = f"sort_array(array_intersect(array_distinct(split(text, ' ')), array({gaz})))"
+    if cap is not None:
+        ents = f"slice({ents}, 1, {cap})"
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.expr(ents).alias("_ents")
     )
+
+
+def _entity_pair_rows(ents: DataFrame) -> DataFrame:
+    """(url, src, dst) with src < dst — the per-doc co-mention pairs,
+    enumerated from the sorted entity array with nested transforms
+    (same rows as the per_doc self-join on url, no join needed)."""
+    pairs = (
+        "flatten(transform(_ents, (x, i) -> "
+        "transform(slice(_ents, i + 2, size(_ents)), y -> "
+        "struct(x AS src, y AS dst))))"
+    )
+    return ents.select("url", F.explode(F.expr(pairs)).alias("_p")) \
+        .select("url", "_p.src", "_p.dst")
+
+
+def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-mention pair counting over the capped per-doc entity set
+    (no prob column -> rank degenerates to entity_id ASC, i.e. the
+    first COMENTION_CAP mentions alphabetically per doc). Pairs per
+    doc are distinct by construction, so the count per (src, dst) is
+    the distinct-doc count."""
     return (
-        comention_edges(m, max_entities_per_doc=COMENTION_CAP)
+        _entity_pair_rows(_per_doc_entity_array(spark, sf_dir))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -553,14 +588,13 @@ def _entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped per-doc entity set the co-mention edge build uses (KG
     read path: "which entities co-occur in largely the same docs")."""
     from qizner_spark.operators.graph import cooccurrence_jaccard
-    from qizner_spark.plans.pipeline import per_doc_entity_set
 
-    m = _ner_mentions(spark, sf_dir).select(
-        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
+    membership = _per_doc_entity_array(spark, sf_dir).select(
+        "url", F.explode("_ents").alias("entity_id")
     )
     return cooccurrence_jaccard(
-        per_doc_entity_set(m, COMENTION_CAP), "url", "entity_id",
-        assume_distinct=True,  # per_doc_entity_set ends in a groupBy on these cols
+        membership, "url", "entity_id",
+        assume_distinct=True,  # array elements are distinct per url
     )
 
 
@@ -586,12 +620,20 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.graph import assign_components
 
     edges = _comention_edges(spark, sf_dir).where(F.col("n_docs") >= CC_EDGE_THRESHOLD)
-    nodes = _ner_mentions(spark, sf_dir).select(F.col("mention").alias("node")).distinct()
+    # node universe = every gazetteer surface occurring anywhere
+    # (UNcapped — isolated / capped-out entities stay singletons)
+    nodes = _per_doc_entity_array(spark, sf_dir, cap=None) \
+        .select(F.explode("_ents").alias("node")).distinct()
     return assign_components(nodes, edges.select("src", "dst"))
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir)
+    # direct read (no ensure_scan_parallelism): this query is one md5
+    # projection + a two-level count aggregate — the partial aggregate
+    # collapses everything in the scan task, so a round-robin widen
+    # would shuffle the full text column to save sub-100ms of native
+    # hashing (measured: the widen cost 0.78 s -> ~1.1 s at sf1.0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     key = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     return docs.select(key.alias("text_key")).groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -835,12 +877,8 @@ def _comention_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal — they differ in the last ulp). Global rank window is
     fine at 24 nodes; at scale rank per partition or top-k."""
     from qizner_spark.operators.graph import pagerank
-    from qizner_spark.plans.pipeline import comention_edges
 
-    m = _ner_mentions(spark, sf_dir).select(
-        F.col("doc_id").alias("url"), F.col("mention").alias("entity_id")
-    )
-    edges = comention_edges(m, max_entities_per_doc=COMENTION_CAP) \
+    edges = _entity_pair_rows(_per_doc_entity_array(spark, sf_dir)) \
         .select("src", "dst").distinct()
     pr = pagerank(edges, damping=0.85, iterations=3)
     w = Window.orderBy(F.desc("pr"), F.asc("node"))
@@ -1175,7 +1213,9 @@ def _q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_documents(spark, sf_dir), threshold=0.5)
+    out = minhash_dedup_pairs(_documents(spark, sf_dir), threshold=0.5)
+    _rotate_persisted("minhash_dedup", getattr(out, "_qizner_persisted", None))
+    return out
 
 
 def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,6 +1354,26 @@ def _flat_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detect_full(spark, sf_dir, flat=True)
 
 
+#: persisted-intermediate handles from the PREVIOUS invocation of each
+#: repeatable query, released on the next call. The engine's persists
+#: (mentions, ent_pre, minhash signatures) are documented as
+#: caller-owned lineage; a long-lived session re-running queries
+#: (bench sweeps, notebooks) would otherwise accumulate cached blocks
+#: until LRU pressure. This releases MEMORY between invocations — it
+#: never carries results across runs (each call rebuilds its plan from
+#: the parquet inputs).
+_PERSIST_REGISTRY: dict[str, list] = {}
+
+
+def _rotate_persisted(key: str, *handles) -> None:
+    for h in _PERSIST_REGISTRY.get(key, []):
+        try:
+            h.unpersist()
+        except Exception:
+            pass  # session gone / already released
+    _PERSIST_REGISTRY[key] = [h for h in handles if h is not None]
+
+
 def _kg_single_factory():
     from qizner_spark.core.scoring import GazetteerScorer
 
@@ -1326,15 +1386,23 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible, so the whole chain gets a DuckDB oracle.
     warc_ts -> epoch long and prob -> rounded double for engine-
     neutral hashing."""
+    return _kg_build_triples(spark, sf_dir, _kg_single_factory, "kg_triples")
+
+
+def _kg_build_triples(spark: SparkSession, sf_dir: str, factory, reg_key: str) -> DataFrame:
     from qizner_spark.plans.pipeline import build_kg_from_sf_dir
 
     # broadcast_alias=True: this caller KNOWS the dictionary is the
     # bounded curated gazetteer (the guard's documented contract) —
     # the hint removes one full mention-table shuffle that an AQE
     # runtime SMJ->BHJ conversion would still have paid the write for
-    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_single_factory,
-                             broadcast_alias=True,
-                             max_entities_per_doc=COMENTION_CAP)["triples"]
+    stages = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=factory,
+                                  broadcast_alias=True,
+                                  max_entities_per_doc=COMENTION_CAP)
+    t = stages["triples"]
+    extra = getattr(t, "_qizner_persisted", None) or []
+    extra = extra if isinstance(extra, list) else [extra]
+    _rotate_persisted(reg_key, stages["mentions"], *extra)
     return t.select(
         "subj", "pred", "obj", "url",
         F.col("warc_ts").cast("long").alias("warc_ts"),
@@ -1347,15 +1415,7 @@ def _kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     true span detection + prob-greedy flattening, L3/L6/L10). Oracled
     end-to-end: k-gram dictionary spans + the recursive greedy-flatten
     CTE feed the same linking/CC/triple chain as kg_triples."""
-    from qizner_spark.plans.pipeline import build_kg_from_sf_dir
-
-    t = build_kg_from_sf_dir(spark, sf_dir, broadcast_alias=True,
-                             max_entities_per_doc=COMENTION_CAP)["triples"]
-    return t.select(
-        "subj", "pred", "obj", "url",
-        F.col("warc_ts").cast("long").alias("warc_ts"),
-        F.round(F.col("prob").cast("double"), 6).alias("prob"),
-    )
+    return _kg_build_triples(spark, sf_dir, None, "kg_triples_full")
 
 
 def _kg_seq_factory():
@@ -1374,16 +1434,7 @@ def _kg_triples_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Mention prob is the seq path's mean
     emission-softmax constant (see ``_seq_prob_const``), so the
     oracle is the kg_triples SQL over seq-prob gazetteer VALUES."""
-    from qizner_spark.plans.pipeline import build_kg_from_sf_dir
-
-    t = build_kg_from_sf_dir(spark, sf_dir, scorer_factory=_kg_seq_factory,
-                             broadcast_alias=True,
-                             max_entities_per_doc=COMENTION_CAP)["triples"]
-    return t.select(
-        "subj", "pred", "obj", "url",
-        F.col("warc_ts").cast("long").alias("warc_ts"),
-        F.round(F.col("prob").cast("double"), 6).alias("prob"),
-    )
+    return _kg_build_triples(spark, sf_dir, _kg_seq_factory, "kg_triples_seq")
 
 
 def _entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,16 +75,28 @@ class GazetteerScorer:
         self.max_len = max((len(m.split(token_deli)) if token_deli else len(m) for m in alias), default=1)
         if token_deli == "":
             self.max_len = max((len(m) for m in alias), default=1)
+        # surface -> (type, prob) precomputed once per scorer: the
+        # dictionary is bounded, so the crc32 pseudo-prob never needs
+        # recomputing per candidate span (it was ~25% of the scan)
+        self._hits = {m: (t, pseudo_prob(m)) for m, t in self.alias.items()}
 
     def score_mentions(self, tokens: Sequence[str], gold: Sequence[Mention] = ()) -> list[Mention]:
+        hits = self._hits
+        if self.max_len == 1:
+            # single-token dictionary: plain enumerate, no slicing/join
+            return [
+                (tp[0], s, s + 1, tp[1])
+                for s, tok in enumerate(tokens)
+                if (tp := hits.get(tok)) is not None
+            ]
         out: list[Mention] = []
         n = len(tokens)
         for s in range(n):
             for e in range(s + 1, min(s + self.max_len, n) + 1):
                 surface = self.token_deli.join(tokens[s:e])
-                ent_type = self.alias.get(surface)
-                if ent_type is not None:
-                    out.append((ent_type, s, e, pseudo_prob(surface)))
+                tp = hits.get(surface)
+                if tp is not None:
+                    out.append((tp[0], s, e, tp[1]))
         return out
 
 

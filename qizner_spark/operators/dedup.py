@@ -172,7 +172,11 @@ def minhash_signatures(
             sigs = []
             for text in pdf[text_col]:
                 h = _shingle_hashes(text, k)  # [S]
-                # [num_hashes, S] -> min over shingles
+                # [num_hashes, S] -> min over shingles. Per-doc small
+                # matrices beat one batch-wide matrix here (round-6
+                # measurement: a [H, batch-shingles] formulation costs
+                # a >200 MB working set and loses cache residency for
+                # zero arithmetic savings).
                 m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE
                 sigs.append(m.min(axis=1).tolist())
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "sig": sigs})

@@ -265,15 +265,32 @@ def pagerank(
     # localCheckpoint preserves the physical partitioning in the
     # LogicalRDD, so each iteration's join only shuffles the (tiny)
     # rank side — the edge side never re-shuffles.
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+    #
+    # Single-reference shapes (round 6): symmetrization explodes each
+    # edge into both orientations instead of union(e, e.reversed), and
+    # the degree attaches as a count window instead of groupBy+join —
+    # the union/join forms referenced their upstream subtree twice
+    # each, and exchange reuse cannot canonicalize the reversed
+    # projection, so the ENTIRE edge derivation (at the driver surface:
+    # detection -> per-doc self-join -> distinct) executed twice more
+    # inside this one checkpoint job.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_uv")
+        )
+        .select("_uv.u", "_uv.v")
         .distinct()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    )
     # deg rides along raw (NOT pre-inverted): the per-iteration
     # contribution must stay pr/deg, bit-identical to the unrolled
     # SQL oracle — pr*(1/deg) differs in the last ulp.
     w_edges = (
-        sym.join(deg, "u")
-        .select("u", "v", "deg")
+        sym.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("u")))
         .repartition(F.col("u"))
         .localCheckpoint()
     )

@@ -88,24 +88,60 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         edges = np.linspace(0, 256, N_BINS + 1)
+        fast_bins = decoder is decode_fake and N_BINS == 16
         for pdf in batches:
-            feats, counts, ws, hs = [], [], [], []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                arr, w, h = decoder(bytes(payload), kind)
-                hist, _ = np.histogram(arr, bins=edges)
-                total = max(arr.size, 1)
-                feats.append((hist / total).astype(np.float32).tolist())
-                counts.append(hist.astype(np.int32).tolist())
-                ws.append(w)
-                hs.append(h)
+            if len(pdf) == 0 or not fast_bins:
+                # generic path: arbitrary decoder output, per-row histogram
+                feats, counts, ws, hs = [], [], [], []
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                    arr, w, h = decoder(bytes(payload), kind)
+                    hist, _ = np.histogram(arr, bins=edges)
+                    total = max(arr.size, 1)
+                    feats.append((hist / total).astype(np.float32).tolist())
+                    counts.append(hist.astype(np.int32).tolist())
+                    ws.append(w)
+                    hs.append(h)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].astype("int64"),
+                        "kind": pdf["kind"],
+                        "feature": feats,
+                        "counts": counts,
+                        "width": np.asarray(ws, dtype="int32"),
+                        "height": np.asarray(hs, dtype="int32"),
+                    }
+                )
+                continue
+            # Vectorized byte-histogram path: the fake decoder's
+            # "signal" is the raw payload bytes, and 16 uniform bins
+            # over [0, 256) are exactly value >> 4 — one bincount over
+            # the whole batch replaces one np.histogram call per row
+            # (identical counts: uint8 < 256 never reaches the closed
+            # upper edge of np.histogram's last bin).
+            payloads = [bytes(p) for p in pdf["payload"]]
+            sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                count=len(payloads))
+            arr = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(len(payloads)), sizes)
+            flat = np.bincount(
+                row_idx * N_BINS + (arr >> 4),
+                minlength=len(payloads) * N_BINS,
+            ).reshape(len(payloads), N_BINS)
+            totals = np.maximum(sizes, 1)
+            feats2 = (flat / totals[:, None]).astype(np.float32)
+            # decode_fake geometry: side = max(int(sqrt(n)), 1),
+            # height = max(n // side, 1) — IEEE sqrt is exact on
+            # perfect squares, so the vectorized form matches int()
+            ws2 = np.maximum(np.sqrt(sizes).astype(np.int64), 1)
+            hs2 = np.maximum(sizes // ws2, 1)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "kind": pdf["kind"],
-                    "feature": feats,
-                    "counts": counts,
-                    "width": np.asarray(ws, dtype="int32"),
-                    "height": np.asarray(hs, dtype="int32"),
+                    "feature": feats2.tolist(),
+                    "counts": flat.astype(np.int32).tolist(),
+                    "width": ws2.astype("int32"),
+                    "height": hs2.astype("int32"),
                 }
             )
 

@@ -17,7 +17,15 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def token_count_col(text_col: str = "text") -> Column:
-    return F.size(F.split(F.col(text_col), " "))
+    # size(split(text, ' ')) == #spaces + 1, counted with translate —
+    # a single O(n) char scan instead of a regex split + array
+    # materialization (same integer for every input, incl. "" -> 1
+    # and repeated spaces, which split keeps as empty tokens)
+    return (
+        F.length(F.col(text_col))
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + F.lit(1)
+    )
 
 
 def subword_count_col(text_col: str = "text", piece: int = 4) -> Column:
@@ -44,12 +52,19 @@ def lang_id_col(text_col: str = "text", zh_threshold: float = 0.3) -> Column:
 
 
 def punct_ratio_col(text_col: str = "text") -> Column:
-    kept = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    # count of punctuation chars == length - length(translate(punct
+    # removed)): same integer as the old keep-only regexp_replace,
+    # without the per-char java.util.regex machinery
+    kept = F.length(F.col(text_col)) - F.length(
+        F.translate(F.col(text_col), ".,;:!?'\"()[]{}-", "")
+    )
     return kept / F.greatest(F.length(F.col(text_col)), F.lit(1))
 
 
 def digit_ratio_col(text_col: str = "text") -> Column:
-    kept = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    kept = F.length(F.col(text_col)) - F.length(
+        F.translate(F.col(text_col), "0123456789", "")
+    )
     return kept / F.greatest(F.length(F.col(text_col)), F.lit(1))
 
 
@@ -61,9 +76,12 @@ def stopword_ratio_col(text_col: str = "text") -> Column:
 
 
 def mean_word_len_col(text_col: str = "text") -> Column:
-    return F.expr(
-        f"aggregate(transform(split({text_col}, ' '), w -> length(w)), 0, (acc, x) -> acc + x)"
-    ) / F.greatest(token_count_col(text_col), F.lit(1))
+    # sum of word lengths over a single-space split == total non-space
+    # chars (empty tokens from repeated spaces contribute 0), so the
+    # lambda-aggregate over the split array reduces to one translate
+    return F.length(F.translate(F.col(text_col), " ", "")) / F.greatest(
+        token_count_col(text_col), F.lit(1)
+    )
 
 
 def quality_score_col(text_col: str = "text") -> Column:
@@ -123,9 +141,16 @@ def tfidf_top_terms(
     drives the ranking."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
+    # Establish the doc partitioning BEFORE the explode: one exchange
+    # of the narrow doc rows (id + text) then satisfies the tf
+    # aggregation (doc_id ⊆ its keys), the df re-attach join's probe
+    # side, AND the final per-doc top-k window — the exploded token
+    # table (tokens x docs rows) itself never shuffles (guide §2.4;
+    # previously the plan exchanged the token-level table twice: once
+    # keyed (doc, term) for tf, once keyed doc for the window).
+    toks = docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col)) \
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.groupBy().agg(F.count(F.lit(1)).alias("_n"))

@@ -335,12 +335,26 @@ def assemble_kg(
     ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
 
     comp_side = F.broadcast(components) if broadcast_components else components
-    # canonical ids attach per BRANCH against the cached rollup — a
-    # broadcast-hash join preserves the url partitioning, so the
-    # branch aggregations below still plan no exchange. (Unhinted by
-    # default: AQE broadcasts exactly when components is genuinely
-    # small — the broadcast_components doctrine, see build_kg.)
-    pre_canon = ent_pre.join(comp_side, "entity_id")
+    # canonical ids attach ONCE, then the canonicalized rollup is
+    # re-established on url and persisted. The join is unhinted by
+    # default (broadcast_components doctrine, see build_kg) and the
+    # components subtree carries no size statistics (driver-side
+    # union-find output), so the initial plan is a sort-merge join —
+    # without this single materialization EVERY branch re-planned that
+    # join, re-derived components (nodes-distinct + left join), and
+    # re-exchanged the cached rollup on entity_id before AQE could
+    # convert anything (measured round 6: three extra shuffle
+    # map-stages of the rollup per triples action). The explicit
+    # repartition inside the cached plan guarantees the cache reports
+    # url hash-partitioning at EVERY scale (broadcast or SMJ join
+    # alike), so the three branch aggregations, the cap window, the
+    # pair self-join and the pair-fold groupBy all plan zero
+    # exchanges.
+    pre_canon = (
+        ent_pre.join(comp_side, "entity_id")
+        .repartition(F.col("url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Branch-local aggregation replaces a global dropDuplicates over
     # the unioned triples: each branch groups on ITS OWN key while the
@@ -360,12 +374,29 @@ def assemble_kg(
         F.col("mention").alias("obj"), "url", "warc_ts", "prob",
     )
     # co-mention edge triples: the SAME pair enumeration as the CC
-    # edges, endpoints rewritten to canonical ids (north_star: CC runs
-    # over the co-mention graph itself, so co-mentioned entities often
-    # share a component — subj == obj is then an intra-cluster edge).
-    # The only aggregation is the per-url canonical-pair fold, and its
-    # key set contains url — still no exchange.
-    ent_doc = capped.join(comp_side, "entity_id")
+    # edges (the cap window re-ranks the canonicalized rollup on the
+    # identical (max prob DESC, entity_id ASC) key, so the kept entity
+    # set matches ``capped`` row for row), endpoints rewritten to
+    # canonical ids (north_star: CC runs over the co-mention graph
+    # itself, so co-mentioned entities often share a component —
+    # subj == obj is then an intra-cluster edge). The only aggregation
+    # is the per-url canonical-pair fold, and its key set contains url
+    # — still no exchange.
+    ent_doc = pre_canon.groupBy("url", "entity_id", "canonical_id").agg(
+        F.min("warc_ts").alias("warc_ts"),
+        F.min("prob").alias("prob"),
+        F.max("_rp").alias("_rank_prob"),
+    )
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+
+        w2 = Window.partitionBy("url").orderBy(
+            F.col("_rank_prob").desc(), F.col("entity_id").asc()
+        )
+        ent_doc = ent_doc.withColumn("_rn", F.row_number().over(w2)).where(
+            F.col("_rn") <= max_entities_per_doc
+        ).drop("_rn")
+    ent_doc = ent_doc.drop("_rank_prob")
     ea, eb = ent_doc.alias("a"), ent_doc.alias("b")
     canon_edges = (
         ea.join(eb, "url")
@@ -383,9 +414,9 @@ def assemble_kg(
                 F.col("obj"), "url", "warc_ts", "prob")
     )
     triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
-    # the persisted rollup's lineage belongs to the CALLER, mirroring
+    # the persisted rollups' lineage belongs to the CALLER, mirroring
     # minhash_dedup_pairs / build_kg's mentions persist
-    triples._qizner_persisted = ent_pre
+    triples._qizner_persisted = [ent_pre, pre_canon]
 
     return {
         "alias": alias,

@@ -100,6 +100,28 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size reduce-side parallelism with AQE instead of the static
+        # shuffle-partition count (guide §2.2): shuffles START wide —
+        # at least 2x the local core count — and AQE coalesces them
+        # back down by size at runtime. minPartitionSize is lowered
+        # from the 1 MB default because the engine's hot reduce stages
+        # (pair enumeration, per-doc windows, signature verification)
+        # are CPU-bound, not IO-bound: a "small" 1 MB partition can
+        # still carry seconds of compute, and coalescing below the
+        # machine's parallelism serializes it. At warehouse scale both
+        # knobs are inert (partitions sit >= the 64 MB advisory size);
+        # override via env for cluster-specific tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "QIZNER_INITIAL_SHUFFLE_PARTITIONS",
+                str(max(shuffle_partitions, 2 * (os.cpu_count() or 16))),
+            ),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("QIZNER_MIN_PARTITION_SIZE", "128k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
