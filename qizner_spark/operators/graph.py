@@ -185,14 +185,19 @@ def connected_components(
         edges.select(F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    n_edges = cur.count()
-    if n_edges == 0:
+    # ONE probe job decides the path: limit(threshold+1).collect()
+    # stops early on huge graphs and IS the full edge set on small
+    # ones — replacing the old localCheckpoint + count + collect
+    # triple (three sequential jobs of pure latency on the common
+    # entity-graph case, where the distinct edge set is tiny).
+    probe = cur.limit(driver_threshold + 1).collect()
+    if not probe:
         return spark.createDataFrame([], "node string, component string")
-    if n_edges <= driver_threshold:
-        comp = _union_find_local([(r["src"], r["dst"]) for r in cur.collect()])
+    if len(probe) <= driver_threshold:
+        comp = _union_find_local([(r["src"], r["dst"]) for r in probe])
         return spark.createDataFrame(list(comp.items()), "node string, component string")
+    cur = cur.localCheckpoint()
     prev_sig = None
     for _ in range(max_iterations):
         cur = _small_star(

@@ -220,6 +220,16 @@ def build_kg(
         from pyspark import StorageLevel
 
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialization BARRIER (round 6): build the cache under one
+        # controlled job before anything references it. The alias
+        # broadcast future and the link-join probe side otherwise
+        # race to materialize the same uncached relation concurrently
+        # — Spark stages coordinate per cached PARTITION only after
+        # one writer finishes, so the whole detection pass executed
+        # 2-3x inside the first job (observed as multiple 64-task
+        # documents-scan stages in one kg action). Production analog:
+        # writing the staging table IS this barrier.
+        mentions.count()
 
     assembled = assemble_kg(
         mentions, salt_buckets=salt_buckets,
@@ -295,6 +305,10 @@ def assemble_kg(
         .repartition(F.col("url"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialization barrier — the co-mention self-join references
+    # this cache from BOTH sides concurrently (see build_kg's barrier
+    # note); one controlled build beats a racing double build
+    ent_pre.count()
     # per-(url, entity) rollup feeding the cap window and the
     # co-mention self-join; entity_id embeds ent_type and the
     # normalized surface, so this is the per-doc DISTINCT entity set.
@@ -355,6 +369,10 @@ def assemble_kg(
         .repartition(F.col("url"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialization barrier — the triples action otherwise races
+    # FOUR concurrent references (three branches + the cap rollup)
+    # into an uncached relation
+    pre_canon.count()
 
     # Branch-local aggregation replaces a global dropDuplicates over
     # the unioned triples: each branch groups on ITS OWN key while the
