@@ -1221,7 +1221,9 @@ def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qizner_spark.operators.dedup import simhash_near_pairs, simhash_signatures
 
-    return simhash_near_pairs(simhash_signatures(_documents(spark, sf_dir)), max_hamming=10)
+    out = simhash_near_pairs(simhash_signatures(_documents(spark, sf_dir)), max_hamming=10)
+    _rotate_persisted("simhash_dedup", getattr(out, "_qizner_persisted", None))
+    return out
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -242,6 +242,13 @@ def minhash_dedup_pairs(
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialization barrier: the banding subtree and both
+        # verification sides otherwise race concurrent stage futures
+        # into the uncached relation and re-run the signature Arrow
+        # pass per reference (same defect class as the KG pipeline's
+        # round-6 barriers; cache population coordinates only after a
+        # writer finishes a partition)
+        sigs.count()
     cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     sa = sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
@@ -316,11 +323,24 @@ def simhash_chunk_bounds(max_hamming: int, n_bits: int = 64) -> list[tuple[int, 
     return bounds
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
+                       persist_signatures: bool = True) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming. Blocking:
     ``max_hamming + 1`` bit-chunks — a qualifying pair shares at least
     one chunk exactly, so the bucketed join is lossless AND never a
-    cross join. Output therefore equals the all-pairs filter."""
+    cross join. Output therefore equals the all-pairs filter.
+
+    ``persist_signatures`` (default True) materializes the signature
+    input once: the chunk self-join references it from BOTH sides, and
+    without the persist each side re-runs the full signature Arrow
+    pass (at 10^12 docs: the entire corpus hashed twice). Caller owns
+    the cached lineage via the result's ``_qizner_persisted`` handle,
+    mirroring minhash_dedup_pairs."""
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+        signatures.count()  # barrier — see minhash_dedup_pairs
     chunk_exprs = ", ".join(
         f"named_struct('chunk', {c}, 'val', shiftright(simhash, {lo}) & {(1 << width) - 1}L)"
         for c, (lo, width) in enumerate(simhash_chunk_bounds(max_hamming))
@@ -330,7 +350,7 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
         F.explode(F.expr(f"array({chunk_exprs})")).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
     a, b = chunked.alias("a"), chunked.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -341,6 +361,9 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    if persist_signatures:
+        out._qizner_persisted = signatures  # caller owns the cached lineage
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -31,8 +31,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    execute = os.environ.get("DUMP_PLANS_EXECUTE", "0") == "1"
     for name in names:
         df = queries[name](spark, sf_dir)
+        if execute:
+            # drive THIS df's QueryExecution to its final AQE plan
+            # (same convention as test_plan_shape.final_plan; a noop
+            # write would execute a separate QueryExecution and leave
+            # df's own plan unfinalized)
+            df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
