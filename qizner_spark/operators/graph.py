@@ -193,10 +193,19 @@ def connected_components(
     # entity-graph case, where the distinct edge set is tiny).
     probe = cur.limit(driver_threshold + 1).collect()
     if not probe:
-        return spark.createDataFrame([], "node string, component string")
+        out = spark.createDataFrame([], "node string, component string")
+        # marker for callers: the map was solved driver-side, so it is
+        # a LocalRelation with EXACT size statistics — the planner can
+        # (and will, under the broadcast threshold) pick a broadcast
+        # join against it natively, no hint needed. Bounded by
+        # construction: <= 2 * driver_threshold nodes.
+        out._qizner_local_rows = 0
+        return out
     if len(probe) <= driver_threshold:
         comp = _union_find_local([(r["src"], r["dst"]) for r in probe])
-        return spark.createDataFrame(list(comp.items()), "node string, component string")
+        out = spark.createDataFrame(list(comp.items()), "node string, component string")
+        out._qizner_local_rows = len(comp)
+        return out
     cur = cur.localCheckpoint()
     prev_sig = None
     for _ in range(max_iterations):

@@ -49,7 +49,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from qizner_spark.gazetteer import GAZETTEER_FULL
-from qizner_spark.operators.graph import assign_components
 from qizner_spark.operators.linking import build_alias_dictionary, link_mentions
 from qizner_spark.operators.mentions import detect_mentions
 from qizner_spark.sources.pages import extract_text_col, pages_from_documents
@@ -305,74 +304,135 @@ def assemble_kg(
         .repartition(F.col("url"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # materialization barrier — the co-mention self-join references
-    # this cache from BOTH sides concurrently (see build_kg's barrier
-    # note); one controlled build beats a racing double build
-    ent_pre.count()
-    # per-(url, entity) rollup feeding the cap window and the
-    # co-mention self-join; entity_id embeds ent_type and the
-    # normalized surface, so this is the per-doc DISTINCT entity set.
-    ent_url = ent_pre.groupBy("url", "entity_id").agg(
-        F.min("warc_ts").alias("warc_ts"),
-        F.min("prob").alias("prob"),
-        F.max("_rp").alias("_rank_prob"),
-    )
-    # Per-doc entity cap: rank = max mention prob DESC, entity_id ASC
-    # — identical to _per_doc_entities, so the CC edge graph and the
-    # mentioned_with triples see the SAME capped entity set.
+    # NO count() barrier here (round 6, revised): the connected-
+    # components probe below is the first job to reference this cache,
+    # and its plan references it exactly ONCE (edges -> distinct is a
+    # shuffle, whose map stage scans and therefore populates EVERY
+    # ent_pre partition before the reduce/limit runs) — a single
+    # writer, so the concurrent-futures race the other barriers guard
+    # against cannot occur, and the probe job doubles as the barrier.
+    # Co-mention pair enumeration (round 6, array form): pairs come
+    # from a per-url SORTED ENTITY ARRAY expanded by nested
+    # transforms instead of a per-url self-join. The rollup is
+    # url-partitioned, so the groupBy(url) plans no exchange; the
+    # O(k^2) expansion is one native codegen projection per url — no
+    # join hash table, no second derivation of the probe side, and no
+    # per-pair row machinery before the fold (same rewrite that took
+    # the relational co-mention family 4.8 s -> 1.6 s at sf1.0).
+    # Row-identity proof: the array is the capped per-doc DISTINCT
+    # entity set sorted by entity_id, and (i < j) enumeration over a
+    # sorted array IS the a.entity_id < b.entity_id join predicate;
+    # the cap keeps top-``max_entities_per_doc`` by (max mention prob
+    # DESC, entity_id ASC) — array_sort on (-prob, entity_id) structs
+    # + slice selects exactly the rows the old row_number window
+    # kept. The cap also bounds every array (task memory) — with
+    # cap=None the self-join form streams unbounded per-url pair
+    # sets instead of materializing them, so that path is kept.
     if max_entities_per_doc is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url").orderBy(
-            F.col("_rank_prob").desc(), F.col("entity_id").asc()
+        cap = int(max_entities_per_doc)
+        ent_url = ent_pre.groupBy("url", "entity_id").agg(
+            F.max("_rp").alias("_rank_prob")
         )
-        capped = ent_url.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= max_entities_per_doc
-        ).drop("_rn")
+        ents = ent_url.groupBy("url").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("_rank_prob")).alias("_nrp"), F.col("entity_id"))
+                )
+            ).alias("_r")
+        ).select(
+            "url",
+            F.expr(
+                f"sort_array(transform(slice(_r, 1, {cap}), s -> s.entity_id))"
+            ).alias("_e"),
+        )
+        edges = ents.select(
+            "url",
+            F.explode(
+                F.expr(
+                    "flatten(transform(_e, (x, i) -> "
+                    "transform(slice(_e, i + 2, size(_e)), y -> "
+                    "struct(x AS src, y AS dst))))"
+                )
+            ).alias("_p"),
+        ).select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"), "url")
     else:
-        capped = ent_url
-    capped = capped.drop("_rank_prob")
+        per_doc = ent_pre.select("url", "entity_id").distinct()
+        pa, pb = per_doc.alias("a"), per_doc.alias("b")
+        edges = (
+            pa.join(pb, "url")
+            .where(F.col("a.entity_id") < F.col("b.entity_id"))
+            .select(
+                F.col("a.entity_id").alias("src"),
+                F.col("b.entity_id").alias("dst"),
+                F.col("url"),
+            )
+        )
+    from qizner_spark.operators.graph import connected_components
 
-    # Co-mention pair enumeration runs ONCE over the capped per-doc
-    # entity set (url-partitioned: the self-join plans no exchange).
-    pa, pb = capped.alias("a"), capped.alias("b")
-    pair_rows = pa.join(pb, "url").where(F.col("a.entity_id") < F.col("b.entity_id"))
-    # same rows comention_edges(linked, cap) produces, minus its
-    # private re-shuffle of the mention table
-    edges = pair_rows.select(
-        F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"),
-        F.col("url"),
-    )
-    components = assign_components(
-        ent_pre.select(F.col("entity_id").alias("node")), edges.select("src", "dst"),
+    comp = connected_components(
+        edges.select("src", "dst"),
         salt_buckets=salt_buckets if salt_buckets is not None else DEFAULT_SALT_BUCKETS,
-    ).withColumnRenamed("node", "entity_id").withColumnRenamed("component", "canonical_id")
-
-    comp_side = F.broadcast(components) if broadcast_components else components
-    # canonical ids attach ONCE, then the canonicalized rollup is
-    # re-established on url and persisted. The join is unhinted by
-    # default (broadcast_components doctrine, see build_kg) and the
-    # components subtree carries no size statistics (driver-side
-    # union-find output), so the initial plan is a sort-merge join —
-    # without this single materialization EVERY branch re-planned that
-    # join, re-derived components (nodes-distinct + left join), and
-    # re-exchanged the cached rollup on entity_id before AQE could
-    # convert anything (measured round 6: three extra shuffle
-    # map-stages of the rollup per triples action). The explicit
-    # repartition inside the cached plan guarantees the cache reports
-    # url hash-partitioning at EVERY scale (broadcast or SMJ join
-    # alike), so the three branch aggregations, the cap window, the
-    # pair self-join and the pair-fold groupBy all plan zero
-    # exchanges.
-    pre_canon = (
-        ent_pre.join(comp_side, "entity_id")
-        .repartition(F.col("url"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # materialization barrier — the triples action otherwise races
-    # FOUR concurrent references (three branches + the cap rollup)
-    # into an uncached relation
-    pre_canon.count()
+    # full node -> canonical map (isolated entities are their own
+    # component) — the public stages entry, same rows assign_components
+    # produces, built from the single probe above instead of a second
+    # connected_components run.
+    components = (
+        ent_pre.select(F.col("entity_id").cast("string").alias("node")).distinct()
+        .join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", F.col("node")))
+        .withColumnRenamed("node", "entity_id")
+        .withColumnRenamed("component", "canonical_id")
+    )
+
+    persisted: list[DataFrame]
+    if getattr(comp, "_qizner_local_rows", None) is not None and not broadcast_components:
+        # Common path (round 6, revised): the component map was solved
+        # by driver-side union-find, so ``comp`` is a LocalRelation
+        # with EXACT size statistics (bounded by construction at
+        # <= 2 x driver_threshold nodes) — the planner natively picks
+        # a broadcast hash join against it whenever it is genuinely
+        # under the broadcast threshold, no hint and no doctrine
+        # violation (the guard exists for UNKNOWN-size dimensions).
+        # A broadcast left join preserves the streamed side's
+        # url partitioning, so the canonicalized rollup needs NO
+        # repartition, NO second persist and NO count barrier: every
+        # triple branch re-attaches canonical ids from the broadcast
+        # against the already-cached ent_pre inside the one triples
+        # action (concurrent subtree reads of a FULLY materialized
+        # cache are safe — the race is only on population). Two
+        # sequential jobs replace the previous four.
+        cmap = (comp.withColumnRenamed("node", "entity_id")
+                    .withColumnRenamed("component", "_canon"))
+        pre_canon = (
+            ent_pre.join(cmap, "entity_id", "left")
+            .withColumn("canonical_id", F.coalesce("_canon", F.col("entity_id")))
+            .drop("_canon")
+        )
+        persisted = [ent_pre]
+    else:
+        # Large-graph path: the distributed CC output has no usable
+        # size statistics, so the initial components join plans as a
+        # sort-merge join — without a single materialization EVERY
+        # branch would re-plan that join, re-derive the components
+        # subtree, and re-exchange the cached rollup on entity_id
+        # before AQE could convert anything (measured round 6: three
+        # extra shuffle map-stages of the rollup per triples action).
+        # The explicit repartition inside the cached plan guarantees
+        # the cache reports url hash-partitioning at EVERY scale, so
+        # the branch aggregations, the pair enumeration and the
+        # pair-fold groupBy all plan zero further exchanges.
+        comp_side = F.broadcast(components) if broadcast_components else components
+        pre_canon = (
+            ent_pre.join(comp_side, "entity_id")
+            .repartition(F.col("url"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # materialization barrier — the triples action otherwise races
+        # FOUR concurrent references (three branches + the cap rollup)
+        # into an uncached relation
+        pre_canon.count()
+        persisted = [ent_pre, pre_canon]
 
     # Branch-local aggregation replaces a global dropDuplicates over
     # the unioned triples: each branch groups on ITS OWN key while the
@@ -406,35 +466,69 @@ def assemble_kg(
         F.max("_rp").alias("_rank_prob"),
     )
     if max_entities_per_doc is not None:
-        from pyspark.sql import Window
-
-        w2 = Window.partitionBy("url").orderBy(
-            F.col("_rank_prob").desc(), F.col("entity_id").asc()
+        # array-form pair enumeration with the canonical-id / fold
+        # payload riding along (see the edges comment above): cap by
+        # (-prob, entity_id) struct sort + slice == the old row_number
+        # window; re-sorting the kept structs entity_id-first restores
+        # the a.entity_id < b.entity_id pair order; per-pair payload
+        # (x.warc_ts, least(x.prob, y.prob)) matches the join form's
+        # (a.warc_ts, least(a.prob, b.prob)) exactly, so the
+        # (url, subj, obj) min/min fold is hash-identical.
+        cap2 = int(max_entities_per_doc)
+        pair_payload = (
+            "flatten(transform(_e, (x, i) -> "
+            "transform(slice(_e, i + 2, size(_e)), y -> "
+            "struct(x.canonical_id AS subj, y.canonical_id AS obj, "
+            "x.warc_ts AS warc_ts, least(x.prob, y.prob) AS prob))))"
         )
-        ent_doc = ent_doc.withColumn("_rn", F.row_number().over(w2)).where(
-            F.col("_rn") <= max_entities_per_doc
-        ).drop("_rn")
-    ent_doc = ent_doc.drop("_rank_prob")
-    ea, eb = ent_doc.alias("a"), ent_doc.alias("b")
-    canon_edges = (
-        ea.join(eb, "url")
-        .where(F.col("a.entity_id") < F.col("b.entity_id"))
-        .groupBy(
-            F.col("url"),
-            F.col("a.canonical_id").alias("subj"),
-            F.col("b.canonical_id").alias("obj"),
+        pairs = ent_doc.groupBy("url").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("_rank_prob")).alias("_nrp"),
+                        F.col("entity_id"), F.col("canonical_id"),
+                        F.col("warc_ts"), F.col("prob"),
+                    )
+                )
+            ).alias("_r")
+        ).select(
+            "url",
+            F.expr(
+                f"array_sort(transform(slice(_r, 1, {cap2}), s -> "
+                "struct(s.entity_id AS entity_id, s.canonical_id AS canonical_id, "
+                "s.warc_ts AS warc_ts, s.prob AS prob)))"
+            ).alias("_e"),
+        ).select("url", F.explode(F.expr(pair_payload)).alias("_p")).select(
+            "url", "_p.subj", "_p.obj", "_p.warc_ts", "_p.prob"
         )
-        .agg(
-            F.min(F.col("a.warc_ts")).alias("warc_ts"),
-            F.min(F.least("a.prob", "b.prob")).alias("prob"),
+        canon_edges = (
+            pairs.groupBy("url", "subj", "obj")
+            .agg(F.min("warc_ts").alias("warc_ts"), F.min("prob").alias("prob"))
+            .select("subj", F.lit("mentioned_with").alias("pred"),
+                    F.col("obj"), "url", "warc_ts", "prob")
         )
-        .select("subj", F.lit("mentioned_with").alias("pred"),
-                F.col("obj"), "url", "warc_ts", "prob")
-    )
+    else:
+        ent_doc = ent_doc.drop("_rank_prob")
+        ea, eb = ent_doc.alias("a"), ent_doc.alias("b")
+        canon_edges = (
+            ea.join(eb, "url")
+            .where(F.col("a.entity_id") < F.col("b.entity_id"))
+            .groupBy(
+                F.col("url"),
+                F.col("a.canonical_id").alias("subj"),
+                F.col("b.canonical_id").alias("obj"),
+            )
+            .agg(
+                F.min(F.col("a.warc_ts")).alias("warc_ts"),
+                F.min(F.least("a.prob", "b.prob")).alias("prob"),
+            )
+            .select("subj", F.lit("mentioned_with").alias("pred"),
+                    F.col("obj"), "url", "warc_ts", "prob")
+        )
     triples = type_triples.unionByName(alias_triples).unionByName(canon_edges)
     # the persisted rollups' lineage belongs to the CALLER, mirroring
     # minhash_dedup_pairs / build_kg's mentions persist
-    triples._qizner_persisted = [ent_pre, pre_canon]
+    triples._qizner_persisted = persisted
 
     return {
         "alias": alias,
@@ -446,7 +540,13 @@ def assemble_kg(
 
 
 def build_kg_from_sf_dir(spark: SparkSession, sf_dir: str, **kw) -> dict[str, DataFrame]:
-    return build_kg(spark, pages_from_documents(spark, sf_dir), **kw)
+    # widen=True: the full-corpus entry takes no limit slices, so the
+    # narrow document rows repartition BEFORE the html wrap — the
+    # wrap/extract/validate projections run at full parallelism on an
+    # under-split sandbox layout instead of inside the single scan
+    # task (see pages_from_documents; build_kg's own widen then
+    # becomes a planning-time no-op).
+    return build_kg(spark, pages_from_documents(spark, sf_dir, widen=True), **kw)
 
 
 def write_triples(

@@ -50,17 +50,30 @@ def extract_text_col(html_name: str = "html") -> Column:
     )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         widen: bool = False) -> DataFrame:
     """documents.parquet -> pages(url, warc_ts, html, text, lang).
 
     url embeds the source as the domain (webtext skew: a few hot
     domains dominate); warc_ts is a deterministic function of doc_id.
-    """
-    # NOTE: deliberately NOT widened with ensure_scan_parallelism
-    # here — callers routinely take pages.limit(n) slices, and a
-    # round-robin exchange under a limit makes the selected rows
-    # action-dependent. build_kg widens AFTER the html drop instead.
+
+    ``widen=False`` default: callers routinely take pages.limit(n)
+    slices, and a round-robin exchange under a limit makes the
+    selected rows action-dependent. ``widen=True`` (the full-corpus
+    pipeline entry) repartitions the narrow DOCUMENT rows up to the
+    session parallelism BEFORE the html wrap, so on an under-split
+    sandbox parquet the wrap + extraction + validation all run wide
+    (guide §2.5 "fix input skew at the source") — and because the
+    html column is synthesized AFTER the exchange, the html-never-
+    shuffles invariant holds by construction. On pre-split production
+    layouts the widen is a planning-time no-op. (A real crawl table
+    already stores html; there this generator and its widen don't
+    exist — the scan itself is split.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if widen:
+        from qizner_spark.session import ensure_scan_parallelism
+
+        docs = ensure_scan_parallelism(docs)
     return docs.select(
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
