@@ -187,9 +187,20 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, num_hashes: int | None = None
 ) -> DataFrame:
-    """Band the signature, bucket-join within (band, band-hash):
-    docs sharing any band become candidates. Native explode +
-    self-join grouped per bucket — never a global cross join.
+    """Band the signature, bucket within (band, band-hash): docs
+    sharing any band become candidates — never a global cross join.
+
+    Round-6 shape: ONE groupBy of the banded table into sorted
+    per-bucket doc-id arrays, then native nested-slice pair
+    enumeration — instead of the (band, bh) self-join, which
+    exchanged the banded table TWICE (once per join side) and built a
+    per-bucket hash table to produce the identical pair set.
+    Enumeration from a sorted array with j > i IS the
+    a.doc_id < b.doc_id join predicate, so the output is
+    row-identical. Per-row memory is O(bucket size) (the tail slice),
+    never O(bucket^2); the pair COUNT per bucket is the same k^2/2 in
+    both forms — a mega-bucket means a mega-duplicate-cluster, which
+    upstream exact dedup should collapse before LSH either way.
 
     Pass ``num_hashes`` to keep the plan fully lazy; inferring it
     runs a driver-side ``first()`` action mid-plan (fallback only)."""
@@ -206,11 +217,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias("id_b"),
+        )
         .distinct()
     )
 
