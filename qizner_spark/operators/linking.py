@@ -27,6 +27,20 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 MAX_DIAGNOSTIC_SURFACES = 1_000_000
 
 
+def entity_id_col(mention_col: str = "mention",
+                  type_col: str = "ent_type") -> F.Column:
+    """The deterministic KB slug ``kb:<type>:<normalized surface>`` —
+    a PURE projection of (mention, ent_type). Because
+    :func:`build_alias_dictionary` assigns entity ids with exactly
+    this expression, linking a mention table against a dictionary
+    built FROM ITSELF reduces to this projection (every key matches,
+    and the id is unique per key, so ``max_by`` tie-breaks cannot
+    differ) — the KG pipeline exploits that to skip the join on its
+    hot path."""
+    return F.concat(F.lit("kb:"), F.col(type_col), F.lit(":"),
+                    F.regexp_replace(F.lower(F.col(mention_col)), r"\s+", "_"))
+
+
 def build_alias_dictionary(mentions: DataFrame) -> DataFrame:
     """Long-form mentions -> (mention, ent_type, entity_id, freq).
 
@@ -37,11 +51,7 @@ def build_alias_dictionary(mentions: DataFrame) -> DataFrame:
     return (
         mentions.groupBy("mention", "ent_type")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "entity_id",
-            F.concat(F.lit("kb:"), F.col("ent_type"), F.lit(":"),
-                     F.regexp_replace(F.lower(F.col("mention")), r"\s+", "_")),
-        )
+        .withColumn("entity_id", entity_id_col())
         .select("mention", "ent_type", "entity_id", "freq")
     )
 

@@ -293,9 +293,22 @@ def assemble_kg(
     from pyspark import StorageLevel
 
     from qizner_spark.operators.graph import DEFAULT_SALT_BUCKETS
+    from qizner_spark.operators.linking import entity_id_col
 
+    # Round 6 (revised): the rollup links by PROJECTION, not join.
+    # assemble_kg always builds its dictionary from this very mention
+    # table, so the link join is an identity attach of the
+    # deterministic slug (see entity_id_col: every (mention, ent_type)
+    # key matches, and the id is unique per key, so frequency
+    # tie-breaking cannot pick a different value) — skipping it
+    # removes a full mention-cache scan + aggregation + broadcast
+    # build from the hot path. Verified row-identical via the
+    # kg-family oracles; the public ``alias``/``linked`` stages (and
+    # ``broadcast_alias``) are untouched for callers that link
+    # against EXTERNAL dictionaries.
     ent_pre = (
-        linked.groupBy("url", "entity_id", "mention", "ent_type")
+        mentions.withColumn("entity_id", entity_id_col())
+        .groupBy("url", "entity_id", "mention", "ent_type")
         .agg(
             F.min("warc_ts").alias("warc_ts"),
             F.min("prob").alias("prob"),
