@@ -366,13 +366,25 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3,
         "doc_id", "simhash",
         F.explode(F.expr(f"array({chunk_exprs})")).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    # bucket-grouped pair enumeration (round 6): same rewrite as
+    # lsh_candidate_pairs — ONE exchange of the chunked table into
+    # sorted per-bucket (doc_id, simhash) arrays, nested-slice pair
+    # expansion, instead of the two-sided chunk self-join. Sorted
+    # structs lead with doc_id, so j > i enumeration IS the
+    # a.doc_id < b.doc_id predicate; rows are identical.
+    buckets = (
+        chunked.groupBy("chunk", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("_ds"))
+        .where(F.size("_ds") > 1)
+    )
     out = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            "_a", F.explode(F.expr("slice(_ds, _i + 2, size(_ds))")).alias("_b")
+        )
+        .select(
+            F.col("_a.doc_id").alias("id_a"), F.col("_b.doc_id").alias("id_b"),
+            F.bit_count(F.col("_a.simhash").bitwiseXOR(F.col("_b.simhash")))
             .cast("int").alias("hamming"),
         )
         .distinct()
